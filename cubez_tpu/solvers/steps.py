@@ -1,0 +1,170 @@
+"""Per-iteration step builders for every solver family.
+
+A step is a pure function ``step(x, b) -> (x_new, r2_sum)`` closing over the
+problem's static data (masks, metric tables, PCR plans).  The outer drivers
+(driver.py, bicgstab.py) own convergence logic; the BiCGSTAB preconditioner
+reuses the same steps with a different ``b`` (cz_Poisson.cpp:273-322).
+
+Solver-name parity with the reference CLI (cz_Evaluate.cpp:684-803):
+  jacobi, psor, sor2sma, pcr, pcr_eda, pcr_esa, pcr_rb, pcr_rb_esa,
+  pcr_j_esa, pbicgstab (+ ``_maf`` for each except pcr_j_esa).
+On TPU the eda/esa/j variants of PCR are memory-layout/race-avoidance
+variants of the same math (identical histories per doc/Memo.md:134) and all
+resolve to the single fused PCR step; pcr_rb[_esa] resolve to the red-black
+PCR step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax.numpy as jnp
+
+from ..core.problem import Problem
+from ..ops import maf as maf_ops
+from ..ops import pcr as pcr_ops
+from ..ops import stencil
+
+# canonical kind per CLI solver name
+_CANON = {
+    "jacobi": "jacobi",
+    "psor": "psor",
+    "sor2sma": "sor2sma",
+    "pcr": "pcr",
+    "pcr_eda": "pcr",
+    "pcr_esa": "pcr",
+    "pcr_j_esa": "pcr",
+    "pcr_rb": "pcr_rb",
+    "pcr_rb_esa": "pcr_rb",
+}
+
+RELAX_SOLVERS = tuple(_CANON)
+ALL_SOLVERS = RELAX_SOLVERS + tuple(
+    f"{k}_maf" for k in _CANON if k != "pcr_j_esa"
+) + ("pbicgstab", "pbicgstab_maf")
+
+
+def parse_name(name: str):
+    n = name.lower()
+    is_maf = n.endswith("_maf")
+    base = n[: -len("_maf")] if is_maf else n
+    if base == "pbicgstab":
+        return "pbicgstab", is_maf
+    if base not in _CANON:
+        raise ValueError(f"unknown solver '{name}'")
+    return _CANON[base], is_maf
+
+
+def make_step(problem: Problem, name: str, omega: float, color_offset: int = 0):
+    """Build step(x, b) -> (x_new, r2) for any relaxation/line solver."""
+    kind, is_maf = parse_name(name)
+    if kind == "pbicgstab":
+        raise ValueError("pbicgstab is a driver, not a sweep; see bicgstab.py")
+
+    g = problem.grid
+    msk = problem.msk
+    dtype = g.dtype
+    nk = g.nk
+    kst, ked = 1, nk - 2  # 0-based inner K range
+
+    if is_maf and problem.mc is None:
+        raise ValueError("MAF solver requested but Problem has no MafCoeffs")
+    mc = problem.mc
+
+    if kind == "jacobi":
+        if is_maf:
+            return lambda x, b: maf_ops.jacobi_maf_sweep(x, b, msk, omega, mc)
+        return lambda x, b: stencil.jacobi_sweep(x, b, msk, omega)
+
+    if kind == "psor":
+        hidx = stencil.hyperplane_index(g.shape_kij)
+        if is_maf:
+            def psor_maf_step(x, b):
+                # wavefront-exact Gauss-Seidel with MAF coefficients
+                import jax
+
+                smin = 3
+                smax = (g.nk - 2) + (g.ni - 2) + (g.nj - 2)
+
+                def body(s, carry):
+                    xx, r2 = carry
+                    m = msk * (hidx == s).astype(dtype)
+                    dp = maf_ops.maf_delta(xx, b, m, omega, mc)
+                    return xx + dp, r2 + jnp.sum(dp * dp)
+
+                return jax.lax.fori_loop(
+                    smin, smax + 1, body, (x, jnp.zeros((), dtype))
+                )
+
+            return psor_maf_step
+        return lambda x, b: stencil.psor_sweep(x, b, msk, omega, hidx)
+
+    if kind == "sor2sma":
+        cmasks = stencil.color_masks(g.shape_kij, offset=color_offset, dtype=dtype)
+        if is_maf:
+            return lambda x, b: maf_ops.sor2sma_maf_sweep(
+                x, b, msk, omega, mc, cmasks
+            )
+        return lambda x, b: stencil.sor2sma_sweep(x, b, msk, omega, cmasks)
+
+    # ---- line solvers -------------------------------------------------------
+    n = ked - kst + 1
+    om = jnp.asarray(omega, dtype)
+    msk_in = msk[kst : ked + 1]
+
+    if kind == "pcr":
+        if is_maf:
+            pn = pcr_ops.num_stage(n)
+
+            def pcr_maf_step(x, b):
+                a, c, d = pcr_ops.build_line_system_maf(x, b, msk, mc, kst, ked)
+                sol = pcr_ops.pcr_reduce_var(a, c, d, pn)
+                dp = (sol - x[kst : ked + 1]) * om * msk_in
+                return x.at[kst : ked + 1].add(dp), jnp.sum(dp * dp)
+
+            return pcr_maf_step
+
+        plan = pcr_ops.build_pcr_plan(n, dtype)
+
+        def pcr_step(x, b):
+            d = pcr_ops.build_line_rhs(x, b, msk, kst, ked)
+            sol = pcr_ops.pcr_reduce_const(d, plan)
+            dp = (sol - x[kst : ked + 1]) * om * msk_in
+            return x.at[kst : ked + 1].add(dp), jnp.sum(dp * dp)
+
+        return pcr_step
+
+    if kind == "pcr_rb":
+        lmasks = pcr_ops.line_color_masks(g.ni, g.nj, color_offset, dtype)
+        if is_maf:
+            pn = pcr_ops.num_stage(n)
+
+            def pcr_rb_maf_step(x, b):
+                r2 = jnp.zeros((), dtype)
+                for color in (0, 1):
+                    a, c, d = pcr_ops.build_line_system_maf(
+                        x, b, msk, mc, kst, ked
+                    )
+                    sol = pcr_ops.pcr_reduce_var(a, c, d, pn)
+                    dp = (sol - x[kst : ked + 1]) * om * msk_in * lmasks[color]
+                    x = x.at[kst : ked + 1].add(dp)
+                    r2 = r2 + jnp.sum(dp * dp)
+                return x, r2
+
+            return pcr_rb_maf_step
+
+        plan = pcr_ops.build_pcr_plan(n, dtype)
+
+        def pcr_rb_step(x, b):
+            r2 = jnp.zeros((), dtype)
+            for color in (0, 1):
+                d = pcr_ops.build_line_rhs(x, b, msk, kst, ked)
+                sol = pcr_ops.pcr_reduce_const(d, plan)
+                dp = (sol - x[kst : ked + 1]) * om * msk_in * lmasks[color]
+                x = x.at[kst : ked + 1].add(dp)
+                r2 = r2 + jnp.sum(dp * dp)
+            return x, r2
+
+        return pcr_rb_step
+
+    raise AssertionError(kind)

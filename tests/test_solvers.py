@@ -1,0 +1,136 @@
+"""End-to-end solver tests: analytic-solution max-error checks (the
+reference's debug-mode verification, cz_Evaluate.cpp:550-563) and
+cross-solver consistency."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cubez_tpu import Problem, max_error, solve
+
+N = 32  # small cube keeps CPU tests fast; discretization error ~ O(h^2)
+
+
+def _solve(name, omega, n=N, dtype=jnp.float32, itr_max=20000, **kw):
+    maf = name.endswith("_maf") or kw.pop("maf", False)
+    prob = Problem.poisson_cube(n, dtype=dtype, maf=maf)
+    return prob, solve(prob, name, omega=omega, itr_max=itr_max, **kw)
+
+
+# Pure discretization error at N=32 is ~6e-4 (measured with a 1e-11 deep
+# solve); at the reference's eps=1e-5 stopping rule the remaining *algebraic*
+# error dominates (the reference behaves the same — the stopping test is on
+# RMS(dp), not the true residual).  Bound for eps=1e-5 runs:
+DISC_ERR = 1e-2
+
+
+@pytest.mark.parametrize(
+    "name,omega",
+    [
+        ("jacobi", 0.8),
+        ("sor2sma", 1.5),
+        # full-plane pcr is line-Jacobi across (i,j) lines (the race-free
+        # semantics of the reference's pcr_j_esa); it requires omega <~ 1.2
+        # (eigenvalues of line-Jacobi reach -1/2).  The reference's 'pcr'
+        # converges at 1.5 only through its sequential/racy in-place line
+        # updates (effectively line-Gauss-Seidel); the deterministic parallel
+        # equivalent of that is pcr_rb.
+        ("pcr", 1.0),
+        ("pcr_rb", 1.5),
+        ("pcr_eda", 1.0),  # alias of pcr on TPU
+    ],
+)
+def test_converges_to_analytic(name, omega):
+    prob, res = _solve(name, omega)
+    assert res.res < 1.0e-5, f"{name} did not converge: {res.res}"
+    assert res.iters < 20000
+    err = max_error(prob.grid, res.x)
+    assert err < DISC_ERR, f"{name}: analytic max error {err}"
+
+
+def test_psor_converges():
+    prob, res = _solve("psor", 1.1, n=16, itr_max=4000)
+    assert res.res < 1.0e-5
+    err = max_error(prob.grid, res.x)
+    assert err < 2e-2  # h ~ 1/15 discretization error
+
+
+def test_history_monotone_tail():
+    _, res = _solve("sor2sma", 1.5)
+    h = res.history
+    assert len(h) == res.iters
+    assert h[-1] < 1.0e-5
+    assert h[-1] <= h[0]
+
+
+def test_jacobi_maf_matches_jacobi_on_uniform_grid():
+    # On the uniform grid the MAF metrics reduce to the constant-coefficient
+    # operator scaled by 1/h^2, so iteration histories must agree closely.
+    _, r_const = _solve("jacobi", 0.8, n=24, itr_max=6000)
+    _, r_maf = _solve("jacobi_maf", 0.8, n=24, itr_max=6000)
+    assert abs(r_const.iters - r_maf.iters) <= max(2, 0.01 * r_const.iters)
+    m = min(r_const.iters, r_maf.iters)
+    np.testing.assert_allclose(
+        r_const.history[: m // 2], r_maf.history[: m // 2], rtol=1e-3
+    )
+
+
+@pytest.mark.parametrize("name,omega", [("sor2sma_maf", 1.5), ("pcr_maf", 1.0),
+                                        ("pcr_rb_maf", 1.5)])
+def test_maf_variants_converge(name, omega):
+    prob, res = _solve(name, omega, n=24, itr_max=20000)
+    assert res.res < 1.0e-5
+    err = max_error(prob.grid, res.x)
+    assert err < 8e-3
+
+
+def test_pcr_aliases_identical():
+    # eda/esa/j variants are one kernel on TPU: bitwise-identical histories
+    _, r1 = _solve("pcr", 1.0)
+    _, r2 = _solve("pcr_esa", 1.0)
+    _, r3 = _solve("pcr_j_esa", 1.0)
+    assert r1.iters == r2.iters == r3.iters
+    np.testing.assert_array_equal(r1.history, r2.history)
+    np.testing.assert_array_equal(r1.history, r3.history)
+
+
+def test_float64():
+    # deep f64 convergence reaches the pure discretization error (~6e-4 at N=32)
+    prob, res = _solve("sor2sma", 1.5, dtype=jnp.float64, eps=1e-10, itr_max=50000)
+    assert res.res < 1e-10
+    err = max_error(prob.grid, res.x)
+    assert err < 1e-3
+
+
+def test_pbicgstab_sor2sma_precond():
+    prob, res = _solve(
+        "pbicgstab", 1.1, precond="sor2sma", itr_max=4000
+    )
+    assert res.res < 1.0e-5
+    assert res.iters < 100  # Krylov + preconditioner converges fast
+    err = max_error(prob.grid, res.x)
+    assert err < DISC_ERR
+
+
+def test_pbicgstab_no_precond():
+    prob, res = _solve("pbicgstab", 1.1, itr_max=4000)
+    assert res.res < 1.0e-5
+    err = max_error(prob.grid, res.x)
+    assert err < DISC_ERR
+
+
+def test_pbicgstab_maf():
+    prob, res = _solve("pbicgstab_maf", 1.1, precond="sor2sma_maf", itr_max=4000)
+    assert res.res < 1.0e-5
+    err = max_error(prob.grid, res.x)
+    assert err < DISC_ERR
+
+
+def test_history_file_format(tmp_path):
+    _, res = _solve("jacobi", 0.8, n=16, itr_max=3000)
+    p = tmp_path / "jacobi.txt"
+    res.write_history(p)
+    lines = p.read_text().splitlines()
+    assert lines[0] == "Itration      Residual"
+    assert lines[1].startswith("     1, ")
+    assert len(lines) == res.iters + 1
