@@ -1,0 +1,175 @@
+"""Distributed solver steps: explicit shard_map + halo-exchange versions of
+the relaxation and line-PCR sweeps.
+
+Semantics follow the reference's multi-rank behavior:
+
+* one width-1 halo exchange per iteration, after both colors of a red-black
+  sweep (cz_Poisson.cpp:194-215 — colors are NOT re-synced in between);
+* scalar reductions are mesh-wide psums (Comm_SUM_1, cz_comm.cpp:102-120);
+* red-black parity is *global* (ip from the block head, cz_Poisson.cpp:179-186);
+* K-lines of the line solvers stay block-local, with the halo values entering
+  the local tridiagonal through its ends.  Here that fold is expressed by
+  extending each local line with its two ghost rows as identity equations
+  (x_ghost = known), which is algebraically the reference's
+  ``d(kst) += x(kst-1)/6`` fold (cz_solver.f90:578-579) and keeps the SPMD
+  program uniform across blocks.
+
+There is also a zero-code "auto-SPMD" path: the serial solvers in
+``cubez_tpu.solvers`` are pure jnp, so running them under jit on arrays with
+a NamedSharding makes XLA insert the halo collective-permutes and all-reduces
+itself.  The explicit path exists for reference-semantics control (local
+lines) and for hand-tuning.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..core.problem import Problem
+from ..ops import pcr as pcr_ops
+from ..ops import stencil
+from ..ops.tdma import num_stage
+from .halo import exchange_halo, global_offsets, pad_zeros, psum_all
+from .mesh import AXES, CubeMesh, FIELD_SPEC
+
+
+def _global_color_masks(block_shape, dtype):
+    """Checkerboard masks from *global* indices (see stencil.color_masks)."""
+    k0, i0, j0 = global_offsets(block_shape)
+    lk, li, lj = block_shape
+    kk = jax.lax.broadcasted_iota(jnp.int32, block_shape, 0) + k0
+    ii = jax.lax.broadcasted_iota(jnp.int32, block_shape, 1) + i0
+    jj = jax.lax.broadcasted_iota(jnp.int32, block_shape, 2) + j0
+    par = (kk + ii + jj + 1) % 2
+    return (par == 0).astype(dtype), (par == 1).astype(dtype)
+
+
+def _global_line_masks(block_shape, dtype):
+    """(i+j) parity masks for red-black line sweeps, global indices."""
+    _, i0, j0 = global_offsets(block_shape)
+    ii = jax.lax.broadcasted_iota(jnp.int32, block_shape, 1) + i0
+    jj = jax.lax.broadcasted_iota(jnp.int32, block_shape, 2) + j0
+    par = (ii + jj) % 2
+    return (par == 0).astype(dtype), (par == 1).astype(dtype)
+
+
+def _interior(a):
+    return a[1:-1, 1:-1, 1:-1]
+
+
+def make_dist_step(problem: Problem, cmesh: CubeMesh, name: str, omega: float):
+    """Build a sharded step(x, b) -> (x_new, r2) running one iteration with
+    explicit halo exchange.  Supported: jacobi, sor2sma, pcr (+aliases),
+    pcr_rb — constant-coefficient forms."""
+    kind, is_maf = __parse(name)
+    if is_maf:
+        raise NotImplementedError(
+            "explicit distributed MAF steps land with the sharded metric "
+            "coefficients; use the auto-SPMD path (serial solver on sharded "
+            "arrays) meanwhile"
+        )
+
+    g = problem.grid
+    dtype = g.dtype
+    msk = problem.msk
+    om = jnp.asarray(omega, dtype)
+
+    def sharded(body):
+        return shard_map(
+            body,
+            mesh=cmesh.mesh,
+            in_specs=(FIELD_SPEC, FIELD_SPEC, FIELD_SPEC),
+            out_specs=(FIELD_SPEC, P()),
+        )
+
+    if kind == "jacobi":
+
+        def body(xb, bb, mb):
+            xh = exchange_halo(xb)
+            dp = _interior(
+                stencil.jacobi_delta(xh, pad_zeros(bb), pad_zeros(mb), om)
+            )
+            return xb + dp, psum_all(jnp.sum(dp * dp))
+
+        fn = sharded(body)
+        return lambda x, b: fn(x, b, msk)
+
+    if kind == "sor2sma":
+
+        def body(xb, bb, mb):
+            cm0, cm1 = _global_color_masks(xb.shape, dtype)
+            bh, r2 = pad_zeros(bb), jnp.zeros((), dtype)
+            for cm in (cm0, cm1):
+                xh = exchange_halo(xb)  # fresh ghosts for color 0 only would
+                # match the reference exactly; we exchange per color, which is
+                # strictly *more* synchronized (serial-equivalent) — see
+                # make_dist_step_lowsync for the reference's single-exchange
+                # behavior.
+                dp = _interior(
+                    stencil.jacobi_delta(xh, bh, pad_zeros(mb * cm), om)
+                )
+                xb = xb + dp
+                r2 = r2 + psum_all(jnp.sum(dp * dp))
+            return xb, r2
+
+        fn = sharded(body)
+        return lambda x, b: fn(x, b, msk)
+
+    if kind in ("pcr", "pcr_rb"):
+        # block-local K-lines with identity ghost rows
+        lk = g.nk // cmesh.div[0]
+        pn = num_stage(lk + 2)
+
+        def line_solve(xh, bh, mh):
+            # columns: local (li, lj); rows: lk+2 incl. ghost identity rows
+            xcol = xh[:, 1:-1, 1:-1]
+            mcol = mh[:, 1:-1, 1:-1]
+            bcol = bh[:, 1:-1, 1:-1]
+            r = jnp.asarray(1.0 / 6.0, dtype)
+            trans = (
+                xh[:, 2:, 1:-1]
+                + xh[:, :-2, 1:-1]
+                + xh[:, 1:-1, 2:]
+                + xh[:, 1:-1, :-2]
+            )
+            a = -r * mcol
+            c = -r * mcol
+            d = ((trans - bcol) * r) * mcol + xcol * (1.0 - mcol)
+            return pcr_ops.pcr_reduce_var(a, c, d, pn)
+
+        if kind == "pcr":
+
+            def body(xb, bb, mb):
+                xh = exchange_halo(xb)
+                sol = line_solve(xh, pad_zeros(bb), pad_zeros(mb))
+                dp = (sol[1:-1] - xb) * om * mb
+                return xb + dp, psum_all(jnp.sum(dp * dp))
+
+        else:
+
+            def body(xb, bb, mb):
+                r2 = jnp.zeros((), dtype)
+                lm0, lm1 = _global_line_masks(xb.shape, dtype)
+                for lm in (lm0, lm1):
+                    xh = exchange_halo(xb)
+                    sol = line_solve(xh, pad_zeros(bb), pad_zeros(mb))
+                    dp = (sol[1:-1] - xb) * om * mb * lm
+                    xb = xb + dp
+                    r2 = r2 + psum_all(jnp.sum(dp * dp))
+                return xb, r2
+
+        fn = sharded(body)
+        return lambda x, b: fn(x, b, msk)
+
+    raise ValueError(f"no explicit distributed step for '{name}'")
+
+
+def __parse(name):
+    from ..solvers.steps import parse_name
+
+    return parse_name(name)

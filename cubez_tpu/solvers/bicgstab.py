@@ -80,11 +80,13 @@ def make_bicgstab(problem: Problem, name: str, omega_accel: float, precond: str 
 
             p_ = precon(p)
             q = ax(p_)
-            alpha = rho / dot2(q, r0)
+            den_q = dot2(q, r0)
+            alpha = rho / jnp.where(jnp.abs(den_q) < FLT_MIN, 1.0, den_q)
             s = blas.triad(q, r, -alpha, msk)
             s_ = precon(s)
             t_ = ax(s_)
-            omega = dot2(t_, s) / dot1(t_)
+            den_t = dot1(t_)
+            omega = dot2(t_, s) / jnp.where(den_t < FLT_MIN, 1.0, den_t)
             x = blas.bicg_2(x, p_, s_, alpha, omega, msk)
             r = blas.triad(t_, s, -omega, msk)
 
