@@ -1,12 +1,14 @@
 """Headline benchmark: cell-updates/s/chip on the 128^3 Poisson problem.
 
-Runs the red-black SOR sweep (the reference's documented headline config,
-``./cz 124 124 124 sor2sma 10000 1.5`` — Readme.md:384-392) for a fixed
-iteration count on the local chip and prints ONE JSON line.
+Runs the fused red-black SOR sweep (the reference's documented headline
+config, ``./cz 124 124 124 sor2sma 10000 1.5`` — Readme.md:384-392) for a
+fixed iteration count on the local chip and prints ONE JSON line.
 
 ``vs_baseline`` is the fraction of the HBM-bandwidth speed-of-light for the
 sweep (the reference publishes no absolute numbers — BASELINE.md — so the
-roofline is the meaningful yardstick; >0.7 is the BASELINE.json target).
+roofline is the meaningful yardstick).  The SoL denominator is the *minimal*
+HBM traffic for one full RB iteration with zero RHS: one read + one write of
+the field (2 passes).
 """
 
 from __future__ import annotations
@@ -21,57 +23,78 @@ N = 128
 ITERS = 200
 OMEGA = 1.5
 
-# HBM bandwidth per chip (GB/s) for the roofline denominator.
-HBM_GBPS = {
-    "TPU v5 lite": 819.0,  # v5e
-    "TPU v5e": 819.0,
-    "TPU v4": 1228.0,
-    "TPU v6 lite": 1640.0,  # v6e / Trillium
-    "cpu": 50.0,
-}
-
-
-def device_bw():
-    d = jax.devices()[0]
-    kind = getattr(d, "device_kind", "cpu")
-    for k, v in HBM_GBPS.items():
-        if k.lower() in str(kind).lower():
-            return v
-    return HBM_GBPS["cpu"] if d.platform == "cpu" else 819.0
-
 
 def main():
     from cubez_tpu import Problem
+    from cubez_tpu.perf.pmlib import device_hbm_gbps
     from cubez_tpu.solvers.driver import fixed_sweeps
     from cubez_tpu.solvers.steps import make_step
 
     prob = Problem.poisson_cube(N, dtype=jnp.float32)
-    step = make_step(prob, "sor2sma", omega=OMEGA)
+    shape = prob.grid.shape_kij
+
+    on_tpu = jax.default_backend() == "tpu"
+    step = None
+    if on_tpu:
+        try:
+            from cubez_tpu.pallas_kernels import sweeps as fused
+
+            fstep = fused.make_fused_sweep(
+                "sor2sma", shape, jnp.float32, omega=OMEGA, b_is_zero=True
+            )
+            if fstep is not None:
+                step = fstep
+                x0 = fused.pad_k2(prob.x0)
+                b0 = fused.pad_k2(prob.rhs)
+                # validate once against the XLA path before timing
+                jstep = make_step(prob, "sor2sma", omega=OMEGA)
+                xa, _ = jax.jit(lambda x, b: fstep(x, b))(x0, b0)
+                xb, _ = jax.jit(jstep)(prob.x0, prob.rhs)
+                err = float(jnp.max(jnp.abs(fused.unpad_k2(xa) - xb)))
+                if err > 1e-5:
+                    step = None
+        except Exception:
+            step = None
+
+    if step is None:
+        step = make_step(prob, "sor2sma", omega=OMEGA)
+        x0, b0 = prob.x0, prob.rhs
+        kernel = "xla"
+    else:
+        kernel = "pallas-fused"
 
     run = jax.jit(lambda x, b: fixed_sweeps(step, x, b, ITERS))
-
-    x = run(prob.x0, prob.rhs)  # compile + warmup
+    x = run(x0, b0)  # compile + warmup
     jax.block_until_ready(x)
 
+    # each rep starts from a distinct random field: repeated identical-input
+    # calls can be served from caches by remote-execution layers, and a
+    # converged solve reaches a bitwise fixed point (making chained state
+    # identical too) — distinct starts defeat both
+    reps = 4
+    key = jax.random.PRNGKey(0)
+    starts = [
+        (x0 + jax.random.normal(k, x0.shape, x0.dtype)).astype(x0.dtype)
+        for k in jax.random.split(key, reps)
+    ]
+    jax.block_until_ready(starts)
     t0 = time.perf_counter()
-    x = run(prob.x0, prob.rhs)
-    jax.block_until_ready(x)
-    dt = time.perf_counter() - t0
+    outs = [run(s, b0) for s in starts]
+    jax.block_until_ready(outs)
+    dt = (time.perf_counter() - t0) / reps
 
     cells = prob.grid.num_inner * ITERS
     cups = cells / dt  # cell updates per second
 
-    # Roofline: per iteration (both colors) the minimal HBM traffic is
-    # 2x(read x + write x) + 2x read b  (masks/colors fold into constants
-    # in an ideal fused kernel) = 6 passes of 4 bytes over N^3.
-    bytes_per_iter = 6 * (N ** 3) * 4
-    sol_iters = device_bw() * 1e9 / bytes_per_iter
+    # SoL: minimal traffic per RB iteration = read x + write x = 2 passes.
+    bytes_per_iter = 2 * (N**3) * 4
+    sol_iters = device_hbm_gbps() * 1e9 / bytes_per_iter
     sol_cups = sol_iters * prob.grid.num_inner
 
     print(
         json.dumps(
             {
-                "metric": "cell-updates/s/chip (sor2sma 128^3 f32)",
+                "metric": f"cell-updates/s/chip (sor2sma 128^3 f32, {kernel})",
                 "value": round(cups / 1e6, 2),
                 "unit": "Mcells/s",
                 "vs_baseline": round(cups / sol_cups, 4),

@@ -28,6 +28,18 @@ def build_argparser():
     ap.add_argument("--fp64", action="store_true", help="REAL_IS_DOUBLE build parity")
     ap.add_argument("--eps", type=float, default=1.0e-5)
     ap.add_argument("--dist", action="store_true", help="shard over all devices")
+    ap.add_argument(
+        "--impl", choices=("auto", "pallas", "jnp"), default="auto",
+        help="sweep kernel implementation (auto: fused Pallas on TPU)",
+    )
+    ap.add_argument(
+        "--profile", action="store_true",
+        help="write profiling.txt (PMlib-style timing/flops/roofline report)",
+    )
+    ap.add_argument(
+        "--dump", metavar="FILE.sph", default=None,
+        help="dump the final field in SPH format (fileout_t equivalent)",
+    )
     return ap
 
 
@@ -87,6 +99,7 @@ def main(argv=None):
         eps=args.eps,
         precond=precond,
         history_path=f"{args.solver}.txt",
+        impl=args.impl,
     )
     jax.block_until_ready(res.x)
     dt = time.perf_counter() - t0
@@ -96,6 +109,30 @@ def main(argv=None):
     print("=================================")
     cells = prob.grid.num_inner * res.iters
     print(f"wall = {dt:.3f} s   {cells / dt / 1e6:.1f} Mcell-updates/s")
+
+    if args.profile:
+        from .perf.pmlib import PerfMonitor, device_hbm_gbps
+        from .perf.roofline import sweep_cost
+
+        pm = PerfMonitor(hbm_gbps=device_hbm_gbps())
+        flops, bts = sweep_cost(
+            kind if kind != "pbicgstab" else "calc_ax",
+            prob.grid.shape_kij,
+            jnp.dtype(dtype).itemsize,
+        )
+        pm.add(
+            f"{args.solver}_sweep", dt, flops=flops * res.iters,
+            bytes=bts * res.iters, calls=res.iters,
+        )
+        pm.write("profiling.txt")
+        print("profiling.txt written")
+
+    if args.dump:
+        from .utils.native import write_sph
+
+        p = prob.grid.pitch
+        write_sph(args.dump, res.x, pitch=(p, p, p), step=res.iters)
+        print(f"{args.dump} written")
 
     if gx == gy == gz:
         err = max_error(prob.grid, res.x)

@@ -50,7 +50,19 @@ def auto_division(nproc: int, gsize) -> tuple[int, int, int]:
 
     Requires each axis divisible only at use time; the search itself allows
     uneven blocks like CBrick (enumerate(), CB_SubDomain_stub.h:434-491).
+    Uses the native C++ search (native/czx_native.cpp) when built; the pure
+    Python below is the reference implementation and fallback.
     """
+    try:
+        from ..utils import native
+
+        nd = native.auto_division(nproc, gsize) if native.available() else None
+        if nd is not None:
+            return nd
+    except ValueError:
+        raise
+    except Exception:
+        pass
     cands = [
         d
         for d in _divisions(nproc)

@@ -9,12 +9,35 @@ from __future__ import annotations
 
 from typing import Optional
 
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
 from ..core.problem import Problem
 from . import steps as steps_mod
 from .bicgstab import make_bicgstab
 from .driver import EPS_DEFAULT, SolveResult, run_iterative
 
 SOLVERS = steps_mod.ALL_SOLVERS
+
+# solvers with a fused single-HBM-pass Pallas kernel (pallas_kernels/sweeps.py)
+FUSED = ("jacobi", "sor2sma")
+
+
+def _can_fuse(problem: Problem, kind: str, is_maf: bool, impl: str) -> bool:
+    if impl == "jnp" or is_maf or kind not in FUSED:
+        return False
+    if problem.grid.dtype != jnp.float32:
+        return False
+    if getattr(problem.x0, "is_fully_addressable", True) is False or (
+        hasattr(problem.x0, "sharding")
+        and getattr(problem.x0.sharding, "num_devices", 1) > 1
+    ):
+        return False  # sharded runs go through the distributed steps
+    if impl == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def solve(
@@ -25,13 +48,38 @@ def solve(
     eps: float = EPS_DEFAULT,
     precond: Optional[str] = None,
     history_path: Optional[str] = None,
+    impl: str = "auto",
 ) -> SolveResult:
+    """``impl``: 'auto' (fused Pallas kernels on TPU, XLA elsewhere),
+    'pallas' (force fused kernels; interpreted off-TPU), 'jnp' (force XLA)."""
     kind, is_maf = steps_mod.parse_name(solver)
     g = problem.grid
 
     if kind == "pbicgstab":
         run = make_bicgstab(problem, solver, omega, precond)
         result = run(problem.x0, problem.rhs, itr_max, eps, g.res_normal)
+    elif _can_fuse(problem, kind, is_maf, impl):
+        from ..pallas_kernels import sweeps as fused
+
+        interpret = jax.default_backend() != "tpu"
+        step = fused.make_fused_sweep(
+            kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
+        )
+        if step is None:  # no viable K tiling — fall back
+            step = steps_mod.make_step(problem, solver, omega)
+            result = run_iterative(
+                step, problem.x0, problem.rhs, g.res_normal, itr_max, eps
+            )
+        else:
+            result = run_iterative(
+                step,
+                fused.pad_k2(problem.x0),
+                fused.pad_k2(problem.rhs),
+                g.res_normal,
+                itr_max,
+                eps,
+            )
+            result = dataclasses.replace(result, x=fused.unpad_k2(result.x))
     else:
         step = steps_mod.make_step(problem, solver, omega)
         result = run_iterative(

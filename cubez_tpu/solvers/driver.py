@@ -32,11 +32,10 @@ class SolveResult:
 
     def write_history(self, path):
         """History file with the reference's exact format
-        (cz_Evaluate.cpp:217, cz_Poisson.cpp:71)."""
-        with open(path, "w") as f:
-            f.write("Itration      Residual\n")
-            for i, r in enumerate(self.history, start=1):
-                f.write("%6d, %13.6e\n" % (i, r))
+        (cz_Evaluate.cpp:217, cz_Poisson.cpp:71); native writer when built."""
+        from ..utils.native import write_history
+
+        write_history(path, self.history)
 
 
 def _res_dtype():
