@@ -43,16 +43,11 @@ def main():
                 "sor2sma", shape, jnp.float32, omega=OMEGA, b_is_zero=True
             )
             if fstep is not None:
+                # fused-vs-XLA parity is covered by tests/test_pallas_sweeps.py;
+                # compiling the XLA step here too would double compile time
                 step = fstep
                 x0 = fused.pad_k2(prob.x0)
                 b0 = fused.pad_k2(prob.rhs)
-                # validate once against the XLA path before timing
-                jstep = make_step(prob, "sor2sma", omega=OMEGA)
-                xa, _ = jax.jit(lambda x, b: fstep(x, b))(x0, b0)
-                xb, _ = jax.jit(jstep)(prob.x0, prob.rhs)
-                err = float(jnp.max(jnp.abs(fused.unpad_k2(xa) - xb)))
-                if err > 1e-5:
-                    step = None
         except Exception:
             step = None
 

@@ -1,0 +1,375 @@
+"""Fused Pallas kernels for the line-PCR (LSOR) solver family.
+
+One kernel invocation performs a complete line-relaxation pass: build the
+tridiagonal RHS from the transverse stencil, run all PCR stages, invert the
+final 2x2 pairs, and apply the masked omega-relaxation — entirely in VMEM.
+The XLA path (ops/pcr.py) materializes d in HBM and re-streams it for each
+of the log2(K) stages (~20 HBM passes per iteration); here an iteration is
+~2-3 passes (read x [+ b], write x).
+
+Reference kernels re-created: pcr / pcr_eda / pcr_esa / pcr_j_esa
+(cz_solver.f90:666-1676, one full-plane line-Jacobi pass) and pcr_rb /
+pcr_rb_esa (cz_solver.f90:497-662, red-black by line parity (i+j)%2).  Each
+color is its own kernel invocation serialized through HBM, so color 1 sees
+every color-0 line fully updated — exactly the serial reference semantics.
+
+Layout: the line-solver state is **(I, K, J)** — K on the *sublane* axis so
+every PCR stage shift is a native sublane rotate, J on the lane axis for the
+transverse stencil's lane rolls, I tiled with overlap-by-2 slabs via manual
+DMA (same scheme as sweeps.py; the cube state is transposed into this layout
+once per solve, not per iteration).  Leading-axis (K-major) rolls were the
+first design; Mosaic compile time explodes combinatorially on chained
+leading-axis rolls of deep arrays, while the sublane form compiles in
+seconds — this is why line solves want K on sublanes on TPU.
+
+Stage-shift wraparound is harmless: at stride s the stage tables satisfy
+a[k] = 0 for k < s and c[k] = 0 for k >= n - s (the zero-extension of
+pcr_eda, cz_solver.f90:919-929), so wrapped (finite) values are multiplied
+by exactly zero.  Tables are precomputed in float64 and streamed as one
+(3*(pn-1)+3, n, J) lane-broadcast array (~1 MB; scalar-per-sublane
+broadcasts from 1D tables would need lane-transposing reshapes, which
+Mosaic rejects).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.tdma import num_stage
+
+R6 = 1.0 / 6.0
+
+
+def to_line_layout(x):
+    """(K, I, J) cube state -> I-padded (I+2, K, J) line-solver state."""
+    return jnp.pad(x.transpose(1, 0, 2), ((1, 1), (0, 0), (0, 0)))
+
+
+def from_line_layout(xp):
+    return xp[1:-1].transpose(1, 0, 2)
+
+
+def _roll(x, shift, axis):
+    if shift < 0:
+        shift += x.shape[axis]
+    return pltpu.roll(x, shift=shift, axis=axis)
+
+
+def build_tables(n: int, dtype=jnp.float32) -> np.ndarray:
+    """Stage + final tables as one ((pn-1)*3 + 3, n) array.
+
+    Rows 3p..3p+2 hold (a, c, e) of stage p (stride 2^p); the last 3 rows
+    hold (c_lo, a_hi, jj) of the final 2x2 inversion, zero-padded from
+    length s = 2^(pn-1) to n.  Evolved in float64 like build_pcr_plan.
+    """
+    pn = num_stage(n)
+
+    def shift_np(v, d):
+        out = np.zeros_like(v)
+        if d > 0:
+            out[:-d] = v[d:]
+        elif d < 0:
+            out[-d:] = v[:d]
+        else:
+            out[:] = v
+        return out
+
+    a = np.full(n, -R6, np.float64)
+    c = np.full(n, -R6, np.float64)
+    a[0] = 0.0
+    c[-1] = 0.0
+    rows = []
+    for p in range(1, pn):
+        s = 2 ** (p - 1)
+        al, ar = shift_np(a, -s), shift_np(a, s)
+        cl, cr = shift_np(c, -s), shift_np(c, s)
+        e = 1.0 / (1.0 - a * cl - c * ar)
+        rows += [a.copy(), c.copy(), e]
+        a, c = -e * a * al, -e * c * cr
+
+    s = 2 ** (pn - 1)
+    a_hi = np.zeros(s)
+    a_hi[: max(n - s, 0)] = a[s:]
+    c_lo = c[:s].copy()
+    jj = 1.0 / (1.0 - a_hi * c_lo)
+
+    def padn(v):
+        out = np.zeros(n)
+        out[: v.shape[0]] = v
+        return out
+
+    rows += [padn(c_lo), padn(a_hi), padn(jj)]
+    return np.asarray(rows, dtype=np.dtype(dtype))
+
+
+def _pcr_solve(d, tab_ref, pn, n):
+    """All PCR stages + final 2x2 on d (it, n, J); K is the sublane axis."""
+
+    def trow(r):
+        return tab_ref[r][None]  # (1, n, J), broadcasts over I
+
+    for p in range(pn - 1):
+        s = 2**p
+        ap, cp, e = trow(3 * p), trow(3 * p + 1), trow(3 * p + 2)
+        dl = _roll(d, -s, 1)  # d[k+s]; wrap killed by cp[k]=0 for k>=n-s
+        dr = _roll(d, s, 1)  # d[k-s]; wrap killed by ap[k]=0 for k<s
+        d = e * (d - ap * dr - cp * dl)
+
+    s = 2 ** (pn - 1)
+    fin = 3 * (pn - 1)
+    c_lo, a_hi, jj = trow(fin), trow(fin + 1), trow(fin + 2)
+    d_hi = _roll(d, -s, 1)  # rows [s,n) then wrap; wrap killed by c_lo/a_hi=0
+    x_lo = (d - c_lo * d_hi) * jj  # valid sublanes [0, s)
+    x_hi = (d_hi - a_hi * d) * jj  # valid sublanes [0, n-s)
+    return jnp.concatenate([x_lo[:, :s], _roll(x_hi, s, 1)[:, s:]], axis=1)
+
+
+def _pcr_kernel(
+    xp_ref, bp_ref, tab_ref, out_ref, r2_ref, xs, bs, outs, in_sems, b_sems, out_sems,
+    *, K, I, J, it, omega, offset, color, b_is_zero, pn
+):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    two = jnp.asarray(2, t.dtype)
+    slot = jax.lax.rem(t, two)
+    nslot = jax.lax.rem(t + 1, two)
+    dtype = xs.dtype
+    n = K - 2  # inner line length
+
+    def in_dma(s, idx):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * it, it + 2)], xs.at[s], in_sems.at[s]
+        )
+
+    def b_dma(s, idx):
+        return pltpu.make_async_copy(
+            bp_ref.at[pl.ds(idx * it + 1, it)], bs.at[s], b_sems.at[s]
+        )
+
+    def out_dma(s, idx):
+        return pltpu.make_async_copy(
+            outs.at[s], out_ref.at[pl.ds(idx * it + 1, it)], out_sems.at[s]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        in_dma(0, 0).start()
+        if not b_is_zero:
+            b_dma(0, 0).start()
+        r2_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    @pl.when(t + 1 < T)
+    def _():
+        in_dma(nslot, t + 1).start()
+        if not b_is_zero:
+            b_dma(nslot, t + 1).start()
+
+    in_dma(slot, t).wait()
+    if not b_is_zero:
+        b_dma(slot, t).wait()
+
+    xv = xs[slot]  # (it+2, K, J)
+    xc = xv[1:-1]  # this tile's lines
+    xin = xc[:, 1:-1, :]  # inner K sublanes
+    i_start = t * it  # global i of xc line 0
+
+    # line masks: inner (i, j) and (i + j + offset) parity
+    gi = jax.lax.broadcasted_iota(jnp.int32, (it, 1, J), 0) + jnp.asarray(
+        i_start, jnp.int32
+    )
+    gj = jax.lax.broadcasted_iota(jnp.int32, (it, 1, J), 2)
+    inner_line = (gi >= 1) & (gi <= I - 2) & (gj >= 1) & (gj <= J - 2)
+    par = jax.lax.rem(gi + gj + jnp.asarray(offset, jnp.int32), jnp.asarray(2, jnp.int32))
+
+    # transverse 4-neighbor source over inner K sublanes
+    trans = (
+        xv[2:, 1:-1, :]
+        + xv[:-2, 1:-1, :]
+        + _roll(xin, -1, 2)
+        + _roll(xin, 1, 2)
+    )
+    if b_is_zero:
+        d = trans * R6
+    else:
+        d = (trans - bs[slot][:, 1:-1, :]) * R6
+    # boundary fold: ends absorb the Dirichlet K-faces (cz_solver.f90:578-579)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    zero = jnp.zeros((), dtype)
+    d = d + jnp.where(kidx == 0, xc[:, 0:1, :] * R6, zero)
+    d = d + jnp.where(kidx == n - 1, xc[:, K - 1 : K, :] * R6, zero)
+    d = jnp.where(inner_line, d, zero)
+
+    sol = _pcr_solve(d, tab_ref, pn, n)
+
+    upd = inner_line if color is None else inner_line & (par == color)
+    dp = jnp.where(upd, (sol - xin) * omega, zero)
+
+    @pl.when(t >= 2)
+    def _():
+        out_dma(slot, t - 2).wait()
+
+    outs[slot] = jnp.concatenate(
+        [xc[:, 0:1, :], xin + dp, xc[:, K - 1 : K, :]], axis=1
+    )
+    out_dma(slot, t).start()
+
+    dpf = dp.astype(jnp.float32)
+    r2_ref[0, 0] += jnp.sum(dpf * dpf)
+
+    @pl.when(t == T - 1)
+    def _():
+        out_dma(slot, t).wait()
+
+    @pl.when((t == T - 1) & (t >= 1))
+    def _():
+        out_dma(nslot, t - 1).wait()
+
+
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
+def choose_it(shape, itemsize=4, max_slab_bytes=(1 << 20)):
+    """Largest divisor of I with an (it+2, K, J) slab within budget."""
+    K, I, J = shape
+    line = _round_up(K, 8) * _round_up(J, 128) * itemsize  # bytes per line
+    best = None
+    for it in range(1, I + 1):
+        if I % it:
+            continue
+        if (it + 2) * line <= max_slab_bytes:
+            best = it
+    return best
+
+
+def make_fused_pcr(
+    shape,
+    dtype=jnp.float32,
+    *,
+    omega: float,
+    color: int | None = None,
+    offset: int = 0,
+    it: int | None = None,
+    b_is_zero: bool = False,
+    interpret: bool = False,
+):
+    """Build ``pass_(xp, bp) -> (xp_new, r2)`` over line-layout state
+    (shape (I+2, K, J); see :func:`to_line_layout`).
+
+    ``color=None`` is the full-plane line-Jacobi pass (reference pcr /
+    pcr_eda / pcr_esa / pcr_j_esa); color 0/1 updates only lines with
+    (i + j + offset) % 2 == color (reference pcr_rb).  Returns None if no
+    viable I tiling exists.
+    """
+    K, I, J = shape
+    n = K - 2
+    if n < 1:
+        return None
+    itemsize = jnp.dtype(dtype).itemsize
+    if it is None:
+        it = choose_it(shape, itemsize)
+    if it is None or I % it:
+        return None
+    T = I // it
+    pn = num_stage(n)
+    tab_np = build_tables(n, dtype)  # (rows, n)
+    tables = jnp.asarray(np.broadcast_to(tab_np[:, :, None], tab_np.shape + (J,)))
+
+    kern = functools.partial(
+        _pcr_kernel,
+        K=K,
+        I=I,
+        J=J,
+        it=it,
+        omega=float(omega),
+        offset=int(offset),
+        color=color,
+        b_is_zero=bool(b_is_zero),
+        pn=pn,
+    )
+
+    flops = int((6 + 14 * (pn - 1) + 9 + 12) * K * I * J)
+    passes = 2 if b_is_zero else 3
+    call = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((I + 2, K, J), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, it + 2, K, J), dtype),
+            pltpu.VMEM((2, it, K if not b_is_zero else 1, J), dtype),
+            pltpu.VMEM((2, it, K, J), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=passes * K * I * J * itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+
+    def pass_(xp, bp):
+        out, r2 = call(xp, bp, tables)
+        return out, r2[0, 0]
+
+    pass_.it = it
+    return pass_
+
+
+def make_fused_pcr_step(
+    kind: str,
+    shape,
+    dtype=jnp.float32,
+    *,
+    omega: float,
+    offset: int = 0,
+    it: int | None = None,
+    b_is_zero: bool = False,
+    interpret: bool = False,
+):
+    """step(xp, bp) -> (xp_new, r2) for 'pcr' (full plane) or 'pcr_rb'
+    (both colors, serial-equivalent).  None if no viable tiling."""
+    kw = dict(
+        omega=omega, offset=offset, it=it, b_is_zero=b_is_zero,
+        interpret=interpret,
+    )
+    if kind == "pcr":
+        return make_fused_pcr(shape, dtype, color=None, **kw)
+    if kind == "pcr_rb":
+        p0 = make_fused_pcr(shape, dtype, color=0, **kw)
+        p1 = make_fused_pcr(shape, dtype, color=1, **kw)
+        if p0 is None or p1 is None:
+            return None
+
+        def step(xp, bp):
+            xp, r0 = p0(xp, bp)
+            xp, r1 = p1(xp, bp)
+            return xp, r0 + r1
+
+        step.it = p0.it
+        return step
+    raise ValueError(kind)
+
+
+# kept as the public pad/unpad names used by solvers/api.py
+pad_i1 = to_line_layout
+unpad_i1 = from_line_layout

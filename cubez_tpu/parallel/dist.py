@@ -67,17 +67,14 @@ def make_dist_step(problem: Problem, cmesh: CubeMesh, name: str, omega: float):
     explicit halo exchange.  Supported: jacobi, sor2sma, pcr (+aliases),
     pcr_rb — constant-coefficient forms."""
     kind, is_maf = __parse(name)
-    if is_maf:
-        raise NotImplementedError(
-            "explicit distributed MAF steps land with the sharded metric "
-            "coefficients; use the auto-SPMD path (serial solver on sharded "
-            "arrays) meanwhile"
-        )
 
     g = problem.grid
     dtype = g.dtype
     msk = problem.msk
     om = jnp.asarray(omega, dtype)
+
+    if is_maf:
+        return _make_dist_maf_step(problem, cmesh, kind, om)
 
     def sharded(body):
         return shard_map(
@@ -167,6 +164,91 @@ def make_dist_step(problem: Problem, cmesh: CubeMesh, name: str, omega: float):
         return lambda x, b: fn(x, b, msk)
 
     raise ValueError(f"no explicit distributed step for '{name}'")
+
+
+def _make_dist_maf_step(problem: Problem, cmesh: CubeMesh, kind: str, om):
+    """Sharded MAF (variable-coefficient) sweeps.
+
+    The metric coefficients are separable 1D tables (ops/maf.py); each block
+    dynamic-slices its extent (with one halo entry each side, padded with
+    ones — the padded entries only reach discarded halo lanes) out of the
+    replicated global tables using its mesh coordinates.
+    """
+    import dataclasses
+
+    from jax import lax
+
+    from ..ops.maf import MafCoeffs
+
+    if kind not in ("jacobi", "sor2sma"):
+        raise NotImplementedError(
+            f"explicit distributed MAF step for '{kind}' — use the auto-SPMD "
+            "path (serial solver on sharded arrays)"
+        )
+
+    g = problem.grid
+    dtype = g.dtype
+    msk = problem.msk
+    mc = problem.mc
+
+    def pad1(v):
+        return jnp.pad(v.reshape(-1), (1, 1), constant_values=1.0)
+
+    # replicated padded global tables, entry p maps to global index p-1
+    tabs = tuple(
+        pad1(v) for v in (mc.c1, mc.c7, mc.c2, mc.c8, mc.c3, mc.c9)
+    )
+
+    def local_mc(block_shape):
+        lk, li, lj = block_shape
+        k0, i0, j0 = global_offsets(block_shape)
+        c1, c7, c2, c8, c3, c9 = tabs
+
+        def sl(tab, start, n):
+            return lax.dynamic_slice(tab, (start,), (n + 2,))
+
+        return MafCoeffs(
+            c1=sl(c1, i0, li)[None, :, None],
+            c7=sl(c7, i0, li)[None, :, None],
+            c2=sl(c2, j0, lj)[None, None, :],
+            c8=sl(c8, j0, lj)[None, None, :],
+            c3=sl(c3, k0, lk)[:, None, None],
+            c9=sl(c9, k0, lk)[:, None, None],
+        )
+
+    from ..ops.maf import maf_delta
+
+    def sharded(body):
+        return shard_map(
+            body,
+            mesh=cmesh.mesh,
+            in_specs=(FIELD_SPEC, FIELD_SPEC, FIELD_SPEC),
+            out_specs=(FIELD_SPEC, P()),
+        )
+
+    if kind == "jacobi":
+
+        def body(xb, bb, mb):
+            xh = exchange_halo(xb)
+            mcl = local_mc(xb.shape)
+            dp = _interior(maf_delta(xh, pad_zeros(bb), pad_zeros(mb), om, mcl))
+            return xb + dp, psum_all(jnp.sum(dp * dp))
+
+    else:  # sor2sma
+
+        def body(xb, bb, mb):
+            mcl = local_mc(xb.shape)
+            cm0, cm1 = _global_color_masks(xb.shape, dtype)
+            bh, r2 = pad_zeros(bb), jnp.zeros((), dtype)
+            for cm in (cm0, cm1):
+                xh = exchange_halo(xb)
+                dp = _interior(maf_delta(xh, bh, pad_zeros(mb * cm), om, mcl))
+                xb = xb + dp
+                r2 = r2 + psum_all(jnp.sum(dp * dp))
+            return xb, r2
+
+    fn = sharded(body)
+    return lambda x, b: fn(x, b, msk)
 
 
 def __parse(name):

@@ -21,8 +21,10 @@ from .driver import EPS_DEFAULT, SolveResult, run_iterative
 
 SOLVERS = steps_mod.ALL_SOLVERS
 
-# solvers with a fused single-HBM-pass Pallas kernel (pallas_kernels/sweeps.py)
-FUSED = ("jacobi", "sor2sma")
+# solvers with a fused single-HBM-pass Pallas kernel
+# (pallas_kernels/sweeps.py for the point sweeps, pallas_kernels/pcr.py for
+# the line solvers)
+FUSED = ("jacobi", "sor2sma", "pcr", "pcr_rb")
 
 
 def _can_fuse(problem: Problem, kind: str, is_maf: bool, impl: str) -> bool:
@@ -59,27 +61,32 @@ def solve(
         run = make_bicgstab(problem, solver, omega, precond)
         result = run(problem.x0, problem.rhs, itr_max, eps, g.res_normal)
     elif _can_fuse(problem, kind, is_maf, impl):
-        from ..pallas_kernels import sweeps as fused
-
         interpret = jax.default_backend() != "tpu"
-        step = fused.make_fused_sweep(
-            kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
-        )
-        if step is None:  # no viable K tiling — fall back
+        if kind in ("pcr", "pcr_rb"):
+            from ..pallas_kernels import pcr as fused
+
+            step = fused.make_fused_pcr_step(
+                kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
+            )
+            pad, unpad = fused.pad_i1, fused.unpad_i1
+        else:
+            from ..pallas_kernels import sweeps as fused
+
+            step = fused.make_fused_sweep(
+                kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
+            )
+            pad, unpad = fused.pad_k2, fused.unpad_k2
+        if step is None:  # no viable tiling — fall back
             step = steps_mod.make_step(problem, solver, omega)
             result = run_iterative(
                 step, problem.x0, problem.rhs, g.res_normal, itr_max, eps
             )
         else:
             result = run_iterative(
-                step,
-                fused.pad_k2(problem.x0),
-                fused.pad_k2(problem.rhs),
-                g.res_normal,
-                itr_max,
-                eps,
+                step, pad(problem.x0), pad(problem.rhs), g.res_normal,
+                itr_max, eps,
             )
-            result = dataclasses.replace(result, x=fused.unpad_k2(result.x))
+            result = dataclasses.replace(result, x=unpad(result.x))
     else:
         step = steps_mod.make_step(problem, solver, omega)
         result = run_iterative(

@@ -113,3 +113,19 @@ def test_auto_spmd_path():
     r_s = solve(prob, "sor2sma", omega=1.5, itr_max=3000)
     assert r_d.iters == r_s.iters
     np.testing.assert_allclose(r_d.history, r_s.history, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["jacobi_maf", "sor2sma_maf"])
+def test_dist_maf_matches_serial(name):
+    # explicit sharded MAF sweeps: metric tables dynamic-sliced per block
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32, maf=True)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    serial_step = steps_mod.make_step(prob, name, 0.8)
+    dist_step = make_dist_step(prob, cm, name, 0.8)
+    x_s, x_d, b_d = prob.x0, cm.shard(prob.x0), cm.shard(prob.rhs)
+    for _ in range(4):
+        x_s, r_s = serial_step(x_s, prob.rhs)
+        x_d, r_d = dist_step(x_d, b_d)
+    np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_s), rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(float(r_d), float(r_s), rtol=1e-4)
