@@ -27,15 +27,19 @@ SOLVERS = steps_mod.ALL_SOLVERS
 FUSED = ("jacobi", "sor2sma", "pcr", "pcr_rb")
 
 
+def _sharded(problem: Problem) -> bool:
+    return getattr(problem.x0, "is_fully_addressable", True) is False or (
+        hasattr(problem.x0, "sharding")
+        and getattr(problem.x0.sharding, "num_devices", 1) > 1
+    )
+
+
 def _can_fuse(problem: Problem, kind: str, is_maf: bool, impl: str) -> bool:
     if impl == "jnp" or is_maf or kind not in FUSED:
         return False
     if problem.grid.dtype != jnp.float32:
         return False
-    if getattr(problem.x0, "is_fully_addressable", True) is False or (
-        hasattr(problem.x0, "sharding")
-        and getattr(problem.x0.sharding, "num_devices", 1) > 1
-    ):
+    if _sharded(problem):
         return False  # sharded runs go through the distributed steps
     if impl == "pallas":
         return True
@@ -58,7 +62,10 @@ def solve(
     g = problem.grid
 
     if kind == "pbicgstab":
-        run = make_bicgstab(problem, solver, omega, precond)
+        run = make_bicgstab(
+            problem, solver, omega, precond,
+            impl="jnp" if _sharded(problem) else impl,
+        )
         result = run(problem.x0, problem.rhs, itr_max, eps, g.res_normal)
     elif _can_fuse(problem, kind, is_maf, impl):
         interpret = jax.default_backend() != "tpu"

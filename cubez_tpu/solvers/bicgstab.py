@@ -27,7 +27,51 @@ FLT_MIN = float(np.finfo(np.float32).tiny)  # rho breakdown (cz_Poisson.cpp:379)
 PRECOND_SWEEPS = 8
 
 
-def make_bicgstab(problem: Problem, name: str, omega_accel: float, precond: str | None):
+def _fused_precon(problem: Problem, precond: str, omega: float, impl: str):
+    """Fused-Pallas 8-sweep preconditioner when eligible, else None."""
+    import jax
+
+    if impl == "jnp" or problem.grid.dtype != jnp.float32:
+        return None
+    kind, p_maf = steps_mod.parse_name(precond)
+    if p_maf:
+        return None
+    on_tpu = jax.default_backend() == "tpu"
+    if impl != "pallas" and not on_tpu:
+        return None
+    interpret = not on_tpu
+    g = problem.grid
+    if kind in ("jacobi", "sor2sma"):
+        from ..pallas_kernels import sweeps as fk
+
+        step = fk.make_fused_sweep(
+            kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
+        )
+        pad, unpad = fk.pad_k2, fk.unpad_k2
+    elif kind in ("pcr", "pcr_rb"):
+        from ..pallas_kernels import pcr as fk
+
+        step = fk.make_fused_pcr_step(
+            kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
+        )
+        pad, unpad = fk.to_line_layout, fk.from_line_layout
+    else:
+        return None
+    if step is None:
+        return None
+
+    def precon(bb):
+        bp = pad(bb)
+        xp = fixed_sweeps(step, jnp.zeros_like(bp), bp, PRECOND_SWEEPS)
+        return unpad(xp)
+
+    return precon
+
+
+def make_bicgstab(
+    problem: Problem, name: str, omega_accel: float, precond: str | None,
+    impl: str = "auto",
+):
     """Returns run(x0, b, itr_max, eps) -> (x, itr, res, hist)."""
     _, is_maf = steps_mod.parse_name(name)
     g = problem.grid
@@ -42,8 +86,12 @@ def make_bicgstab(problem: Problem, name: str, omega_accel: float, precond: str 
         rk = lambda p, b: blas.calc_rk(p, b, msk)
 
     if precond and precond.lower() not in ("none", "copy"):
-        pstep = steps_mod.make_step(problem, precond, omega_accel)
-        precon = lambda bb: fixed_sweeps(pstep, jnp.zeros_like(bb), bb, PRECOND_SWEEPS)
+        precon = _fused_precon(problem, precond, omega_accel, impl)
+        if precon is None:
+            pstep = steps_mod.make_step(problem, precond, omega_accel)
+            precon = lambda bb: fixed_sweeps(
+                pstep, jnp.zeros_like(bb), bb, PRECOND_SWEEPS
+            )
     else:
         precon = lambda bb: bb  # default: copy (cz_Poisson.cpp:320)
 
