@@ -52,7 +52,11 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def choose_kt(shape, itemsize=4, max_slab_bytes=(1 << 21) + (1 << 19), halo=4):
+def choose_kt(shape, itemsize=4, max_slab_bytes=(1 << 20) + (1 << 18), halo=4):
+    # default budget ~1.25 MiB per slab: slabs are double-buffered (x2) with
+    # output slabs on top, so this keeps total VMEM well under the ~16 MiB
+    # budget with compute temporaries included (kt=32 at 128^3 fails to
+    # compile; kt=16 measures 75% of HBM SoL on v5e)
     """Largest divisor of K whose (kt+halo, I, J) VMEM slab fits the budget
     (J padded to 128 lanes, I to 8 sublanes).  None if even kt=1 won't fit."""
     K, I, J = shape
