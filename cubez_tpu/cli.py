@@ -135,8 +135,10 @@ def main(argv=None):
         print(f"{args.dump} written")
 
     if gx == gy == gz:
-        err = max_error(prob.grid, res.x)
-        print(f"\nError max = {err:e}\n")
+        from .core.grid import max_error_loc
+
+        err, (ei, ej, ek) = max_error_loc(prob.grid, res.x)
+        print(f"\nError max = {err:e} at ({ei} {ej} {ek})\n")
     return 0
 
 

@@ -164,3 +164,13 @@ def max_error(grid: Grid, p: jnp.ndarray) -> float:
     """Max |p - exact| over inner nodes (err_t, cz_utility.f90:86-129)."""
     d = jnp.abs(p - grid.exact) * grid.inner_mask
     return float(jnp.max(d))
+
+
+def max_error_loc(grid: Grid, p: jnp.ndarray) -> tuple[float, tuple[int, int, int]]:
+    """(max |p - exact|, argmax (i, j, k) 1-based) — the full err_t output
+    the driver prints as 'Error max = %e at (i j k)'
+    (cz_Evaluate.cpp:550-563)."""
+    d = jnp.abs(p - grid.exact) * grid.inner_mask
+    flat = int(jnp.argmax(d))
+    k, i, j = np.unravel_index(flat, grid.shape_kij)
+    return float(jnp.max(d)), (int(i) + 1, int(j) + 1, int(k) + 1)

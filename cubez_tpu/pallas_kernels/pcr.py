@@ -235,15 +235,19 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def choose_it(shape, itemsize=4, max_slab_bytes=(1 << 20)):
-    """Largest divisor of I with an (it+2, K, J) slab within budget."""
+def choose_it(shape, itemsize=4, max_vmem_bytes=64 << 20, it_cap=32):
+    """Largest divisor of I (<= it_cap) whose total VMEM footprint fits.
+
+    Model: double-buffered input slabs 2*(it+2) lines + outputs 2*it +
+    PCR temporaries ~6*it lines of (K, J) each, K/J padded to (8, 128)."""
     K, I, J = shape
     line = _round_up(K, 8) * _round_up(J, 128) * itemsize  # bytes per line
     best = None
-    for it in range(1, I + 1):
+    for it in range(1, min(I, it_cap) + 1):
         if I % it:
             continue
-        if (it + 2) * line <= max_slab_bytes:
+        total = (2 * (it + 2) + 2 * it + 6 * it) * line
+        if total <= max_vmem_bytes:
             best = it
     return best
 
@@ -257,6 +261,7 @@ def make_fused_pcr(
     offset: int = 0,
     it: int | None = None,
     b_is_zero: bool = False,
+    vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
     """Build ``pass_(xp, bp) -> (xp_new, r2)`` over line-layout state
@@ -323,6 +328,9 @@ def make_fused_pcr(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=passes * K * I * J * itemsize,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )

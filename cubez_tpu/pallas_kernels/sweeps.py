@@ -52,20 +52,23 @@ def _round_up(v, m):
     return -(-v // m) * m
 
 
-def choose_kt(shape, itemsize=4, max_slab_bytes=(1 << 20) + (1 << 18), halo=4):
-    # default budget ~1.25 MiB per slab: slabs are double-buffered (x2) with
-    # output slabs on top, so this keeps total VMEM well under the ~16 MiB
-    # budget with compute temporaries included (kt=32 at 128^3 fails to
-    # compile; kt=16 measures 75% of HBM SoL on v5e)
-    """Largest divisor of K whose (kt+halo, I, J) VMEM slab fits the budget
-    (J padded to 128 lanes, I to 8 sublanes).  None if even kt=1 won't fit."""
+def choose_kt(shape, itemsize=4, max_vmem_bytes=64 << 20, halo=4, kt_cap=32):
+    """Largest divisor of K (<= kt_cap) whose total VMEM footprint fits.
+
+    Footprint model (measured on v5e): double-buffered input slabs
+    2*(kt+halo) rows + double-buffered output slabs 2*kt rows + Mosaic
+    compute temporaries ~4*(kt+2) rows, each row I*J padded to the (8, 128)
+    tile.  kt_cap bounds the tile so per-step latency stays pipelineable.
+    None if even kt=1 won't fit.
+    """
     K, I, J = shape
     row = _round_up(I, 8) * _round_up(J, 128) * itemsize
     best = None
-    for kt in range(1, K + 1):
+    for kt in range(1, min(K, kt_cap) + 1):
         if K % kt:
             continue
-        if (kt + halo) * row <= max_slab_bytes:
+        total = (2 * (kt + halo) + 2 * kt + 4 * (kt + 2)) * row
+        if total <= max_vmem_bytes:
             best = kt
     return best
 
@@ -222,6 +225,7 @@ def make_fused_sweep(
     offset: int = 0,
     kt: int | None = None,
     b_is_zero: bool = False,
+    vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
     """Build ``step(xp, bp) -> (xp_new, r2)`` over K-padded state arrays
@@ -281,6 +285,9 @@ def make_fused_sweep(
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_touched, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
         ),
         interpret=interpret,
     )

@@ -55,8 +55,27 @@ def parse_name(name: str):
     return _CANON[base], is_maf
 
 
+def _named(label, fn):
+    """Tag the step's ops for profiler traces — the NVTX/FAPP-range
+    equivalent (PUSH_RANGE/POP_RANGE, cz.h:46-74; fapp_start, cz.h:513)."""
+    import jax
+
+    def wrapped(*args):
+        with jax.named_scope(label):
+            return fn(*args)
+
+    return wrapped
+
+
 def make_step(problem: Problem, name: str, omega: float, color_offset: int = 0):
-    """Build step(x, b) -> (x_new, r2) for any relaxation/line solver."""
+    """Build step(x, b) -> (x_new, r2) for any relaxation/line solver.
+
+    Steps are wrapped in a jax.named_scope with the solver name so device
+    profiles group per-solver kernels like the reference's PMlib labels."""
+    return _named(name, _make_step(problem, name, omega, color_offset))
+
+
+def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0):
     kind, is_maf = parse_name(name)
     if kind == "pbicgstab":
         raise ValueError("pbicgstab is a driver, not a sweep; see bicgstab.py")

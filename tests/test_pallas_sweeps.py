@@ -80,7 +80,7 @@ def test_solve_api_impl_pallas():
 
 
 def test_choose_kt():
-    assert fused.choose_kt((128, 128, 128), 4, max_slab_bytes=1 << 20) in (8, 16)
-    kt = fused.choose_kt((126, 126, 126), 4, max_slab_bytes=1 << 21)
+    assert fused.choose_kt((128, 128, 128)) in (16, 32)
+    kt = fused.choose_kt((126, 126, 126))
     assert kt is not None and 126 % kt == 0
-    assert fused.choose_kt((7, 4096, 4096), 4, max_slab_bytes=1 << 20) is None
+    assert fused.choose_kt((8, 4096, 4096), max_vmem_bytes=1 << 20) is None
