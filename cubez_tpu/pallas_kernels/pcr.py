@@ -276,6 +276,11 @@ def make_fused_pcr(
     n = K - 2
     if n < 1:
         return None
+    if not interpret and (K % 8 or J % 128):
+        # HBM<->VMEM DMA slices must be tile-aligned on real hardware; the
+        # XLA path serves unaligned grids until this kernel gains the
+        # pad-to-tile treatment of sweeps.py
+        return None
     itemsize = jnp.dtype(dtype).itemsize
     if it is None:
         it = choose_it(shape, itemsize)

@@ -39,17 +39,29 @@ from jax.experimental.pallas import tpu as pltpu
 R6 = 1.0 / 6.0
 
 
-def pad_k2(x):
-    """State layout for the fused sweeps: K-pad by 2 rows each side."""
-    return jnp.pad(x, ((2, 2), (0, 0), (0, 0)))
-
-
-def unpad_k2(x):
-    return x[2:-2]
-
-
 def _round_up(v, m):
     return -(-v // m) * m
+
+
+def pad_k2(x):
+    """State layout for the fused sweeps: K-pad by 2 rows each side, I/J
+    rounded up to the (8, 128) tile so HBM<->VMEM DMA slices are aligned
+    (Mosaic rejects lane-unaligned slices).  Pad lanes hold zeros initially
+    and may decay to garbage; every consumer masks with ``where`` on true
+    bounds."""
+    K, I, J = x.shape
+    return jnp.pad(
+        x, ((2, 2), (0, _round_up(I, 8) - I), (0, _round_up(J, 128) - J))
+    )
+
+
+def unpad_k2(x, shape=None):
+    """Inverse of pad_k2.  ``shape`` is the true (K, I, J); without it the
+    I/J pads (if any) are NOT stripped — pass it for non-aligned grids."""
+    if shape is None:
+        return x[2:-2]
+    K, I, J = shape
+    return x[2:-2, :I, :J]
 
 
 def choose_kt(shape, itemsize=4, max_vmem_bytes=64 << 20, halo=4, kt_cap=32):
@@ -73,16 +85,17 @@ def choose_kt(shape, itemsize=4, max_vmem_bytes=64 << 20, halo=4, kt_cap=32):
     return best
 
 
-def _iota_masks(kt_rows, I, J, K, k_start, offset):
-    """(inner, color0, color1) boolean masks for ``kt_rows`` K-rows starting
-    at global row ``k_start`` (traced).  Built from separable 1D/2D pieces so
-    the per-element cost is a couple of VPU ops, not a full 3D index calc."""
+def _iota_masks(kt_rows, Ip, Jp, K, I, J, k_start, offset):
+    """(inner, color0, color1) boolean masks of shape (kt_rows, Ip, Jp) for
+    K-rows starting at global row ``k_start`` (traced); bounds use the TRUE
+    extents (K, I, J) so tile-padding lanes are always masked.  Built from
+    separable 1D/2D pieces so the per-element cost is a couple of VPU ops."""
     k1 = jax.lax.broadcasted_iota(jnp.int32, (kt_rows, 1, 1), 0) + jnp.asarray(
         k_start, jnp.int32
     )
     inner_k = (k1 >= 1) & (k1 <= K - 2)
-    ij_i = jax.lax.broadcasted_iota(jnp.int32, (1, I, J), 1)
-    ij_j = jax.lax.broadcasted_iota(jnp.int32, (1, I, J), 2)
+    ij_i = jax.lax.broadcasted_iota(jnp.int32, (1, Ip, Jp), 1)
+    ij_j = jax.lax.broadcasted_iota(jnp.int32, (1, Ip, Jp), 2)
     inner_ij = (ij_i >= 1) & (ij_i <= I - 2) & (ij_j >= 1) & (ij_j <= J - 2)
     inner = inner_k & inner_ij
     # 0-based parity of the reference's psor2sma color loop
@@ -123,9 +136,37 @@ def _masked_delta(xfull, mask, bmid, omega, dtype):
     return xc + dp, dp
 
 
+def _masked_delta_maf(xfull, mask, bmid, omega, dtype, tij, wk):
+    """Variable-coefficient (MAF) update increment on the middle rows.
+
+    tij: (4, I, J) = (c1, c7, c2, c8) pre-broadcast metric tables;
+    wk: (n, 2, J) = (c3, c9) rows aligned with the middle rows of xfull.
+    Math is psor_maf/jacobi_maf (cz_maf.f90:68-105) via ops/maf.py.
+    """
+    xc = xfull[1:-1]
+    c3 = wk[:, 0:1, :]
+    c9 = wk[:, 1:2, :]
+    c1, c7, c2, c8 = tij[0][None], tij[1][None], tij[2][None], tij[3][None]
+    half = jnp.asarray(0.5, dtype)
+    rp = (
+        (c3 - half * c9) * xfull[:-2]
+        + (c3 + half * c9) * xfull[2:]
+        + (c1 + half * c7) * _roll(xc, -1, 1)
+        + (c1 - half * c7) * _roll(xc, 1, 1)
+        + (c2 + half * c8) * _roll(xc, -1, 2)
+        + (c2 - half * c8) * _roll(xc, 1, 2)
+    )
+    if bmid is not None:
+        rp = rp + bmid
+    dd = 2.0 * (c1 + c2 + c3)
+    dp = jnp.where(mask, (rp / dd - xc) * omega, jnp.zeros((), dtype))
+    return xc + dp, dp
+
+
 def _sweep_kernel(
-    xp_ref, bp_ref, out_ref, r2_ref, xs, bs, outs, in_sems, b_sems, out_sems,
-    *, kind, K, I, J, kt, omega, offset, b_is_zero
+    xp_ref, bp_ref, tij_ref, tkp_ref, out_ref, r2_ref,
+    xs, bs, tks, outs, in_sems, b_sems, tk_sems, out_sems,
+    *, kind, K, I, J, Ip, Jp, kt, omega, offset, b_is_zero, maf
 ):
     """Double-buffered pipelined sweep: while tile t computes, tile t+1's
     slabs stream in and tile t-1's result streams out (the guide's
@@ -152,6 +193,11 @@ def _sweep_kernel(
             bp_ref.at[pl.ds(idx * kt + b_off, b_rows)], bs.at[s], b_sems.at[s]
         )
 
+    def tk_dma(s, idx):
+        return pltpu.make_async_copy(
+            tkp_ref.at[pl.ds(idx * kt + b_off, b_rows)], tks.at[s], tk_sems.at[s]
+        )
+
     def out_dma(s, idx):
         return pltpu.make_async_copy(
             outs.at[s], out_ref.at[pl.ds(idx * kt + 2, kt)], out_sems.at[s]
@@ -162,6 +208,8 @@ def _sweep_kernel(
         in_dma(0, 0).start()
         if not b_is_zero:
             b_dma(0, 0).start()
+        if maf:
+            tk_dma(0, 0).start()
         r2_ref[0, 0] = jnp.zeros((), jnp.float32)
 
     @pl.when(t + 1 < T)
@@ -169,28 +217,44 @@ def _sweep_kernel(
         in_dma(nslot, t + 1).start()
         if not b_is_zero:
             b_dma(nslot, t + 1).start()
+        if maf:
+            tk_dma(nslot, t + 1).start()
 
     in_dma(slot, t).wait()
     if not b_is_zero:
         b_dma(slot, t).wait()
+    if maf:
+        tk_dma(slot, t).wait()
 
     xv = xs[slot]
     bv = None if b_is_zero else bs[slot]
     k0 = t * kt
 
+    if maf:
+        tij = tij_ref[:]
+        wk = tks[slot]
+        delta = functools.partial(
+            _masked_delta_maf, omega=omega, dtype=dtype, tij=tij
+        )
+    else:
+        delta = functools.partial(_masked_delta, omega=omega, dtype=dtype)
+
     if kind == "sor2sma":
         # masks over the extended color-0 range: kt+2 rows, global [k0-1, k0+kt]
-        inner, c0, c1 = _iota_masks(kt + 2, I, J, K, k0 - 1, offset)
-        x0, dp0 = _masked_delta(xv, inner & c0, bv, omega, dtype)
+        inner, c0, c1 = _iota_masks(kt + 2, Ip, Jp, K, I, J, k0 - 1, offset)
+        kw0 = {"wk": wk} if maf else {}
+        x0, dp0 = delta(xv, inner & c0, bv, **kw0)
         bmid = None if b_is_zero else bv[1:-1]
-        x1, dp1 = _masked_delta(x0, (inner & c1)[1:-1], bmid, omega, dtype)
+        kw1 = {"wk": wk[1:-1]} if maf else {}
+        x1, dp1 = delta(x0, (inner & c1)[1:-1], bmid, **kw1)
         dpc = dp0[1:-1].astype(jnp.float32)
         r2 = jnp.sum(dpc * dpc) + jnp.sum(
             dp1.astype(jnp.float32) * dp1.astype(jnp.float32)
         )
     else:
-        inner, _c0, _c1 = _iota_masks(kt, I, J, K, k0, offset)
-        x1, dp = _masked_delta(xv, inner, bv, omega, dtype)
+        inner, _c0, _c1 = _iota_masks(kt, Ip, Jp, K, I, J, k0, offset)
+        kwj = {"wk": wk} if maf else {}
+        x1, dp = delta(xv, inner, bv, **kwj)
         dpf = dp.astype(jnp.float32)
         r2 = jnp.sum(dpf * dpf)
 
@@ -225,6 +289,7 @@ def make_fused_sweep(
     offset: int = 0,
     kt: int | None = None,
     b_is_zero: bool = False,
+    mc=None,
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
@@ -234,16 +299,56 @@ def make_fused_sweep(
     ``kind``: 'jacobi' | 'sor2sma' (both red-black colors fused in one pass).
     ``b_is_zero``: skip streaming the RHS (valid when b == 0 on all inner
     nodes, as in the reference Laplace problem); ``bp`` is still accepted and
-    ignored.  Returns None if no viable K tiling exists.
+    ignored.  ``mc`` (a MafCoeffs) switches to the variable-coefficient MAF
+    form (jacobi_maf / sor2sma_maf): the separable metric tables stream as
+    tiny side arrays.  Returns None if no viable K tiling exists.
     """
+    import numpy as np
+
     K, I, J = shape
+    Ip, Jp = _round_up(I, 8), _round_up(J, 128)
     kernel_fn, x_halo, b_halo = _KERNELS[kind]
     itemsize = jnp.dtype(dtype).itemsize
     if kt is None:
-        kt = choose_kt(shape, itemsize, halo=x_halo)
+        kt = choose_kt((K, Ip, Jp), itemsize, halo=x_halo)
     if kt is None or K % kt:
         return None
     T = K // kt
+    maf = mc is not None
+
+    if maf:
+        npdt = np.dtype(dtype)
+
+        def padv(v, n, np_):
+            out = np.ones(np_, npdt)
+            out[:n] = np.asarray(v, npdt).reshape(n)
+            return out
+
+        c1 = padv(mc.c1, I, Ip)
+        c7 = padv(mc.c7, I, Ip)
+        c2 = padv(mc.c2, J, Jp)
+        c8 = padv(mc.c8, J, Jp)
+        c3 = np.asarray(mc.c3, npdt).reshape(K)
+        c9 = np.asarray(mc.c9, npdt).reshape(K)
+        tij = jnp.asarray(
+            np.stack(
+                [
+                    np.broadcast_to(c1[:, None], (Ip, Jp)),
+                    np.broadcast_to(c7[:, None], (Ip, Jp)),
+                    np.broadcast_to(c2[None, :], (Ip, Jp)),
+                    np.broadcast_to(c8[None, :], (Ip, Jp)),
+                ]
+            )
+        )
+        tkp_np = np.ones((K + 4, 2, Jp), npdt)  # pad rows 1.0: dd stays finite
+        tkp_np[2:-2, 0, :] = c3[:, None]
+        tkp_np[2:-2, 1, :] = c9[:, None]
+        tkp = jnp.asarray(tkp_np)
+    else:
+        tij = jnp.zeros((1, 8, 128), dtype)
+        tkp = jnp.zeros((1, 8, 128), dtype)
+
+    b_rows = kt + 2 if kind == "sor2sma" else kt
 
     kern = functools.partial(
         kernel_fn,
@@ -251,14 +356,17 @@ def make_fused_sweep(
         K=K,
         I=I,
         J=J,
+        Ip=Ip,
+        Jp=Jp,
         kt=kt,
         omega=float(omega),
         offset=int(offset),
         b_is_zero=bool(b_is_zero),
+        maf=maf,
     )
 
-    bytes_touched = (2 if b_is_zero else 3) * K * I * J * itemsize
-    flops = (18 * K * I * J) if kind != "jacobi" else 18 * K * I * J
+    bytes_touched = (2 if b_is_zero else 3) * K * Ip * Jp * itemsize
+    flops = (66 if maf else 18) * K * I * J
 
     call = pl.pallas_call(
         kern,
@@ -266,19 +374,23 @@ def make_fused_sweep(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((K + 4, I, J), dtype),
+            jax.ShapeDtypeStruct((K + 4, Ip, Jp), dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, kt + x_halo, I, J), dtype),
-            pltpu.VMEM((2, (kt + b_halo) if not b_is_zero else 1, I, J), dtype),
-            pltpu.VMEM((2, kt, I, J), dtype),
+            pltpu.VMEM((2, kt + x_halo, Ip, Jp), dtype),
+            pltpu.VMEM((2, (kt + b_halo) if not b_is_zero else 1, Ip, Jp), dtype),
+            pltpu.VMEM((2, b_rows if maf else 1, 2, Jp), dtype),
+            pltpu.VMEM((2, kt, Ip, Jp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -293,7 +405,7 @@ def make_fused_sweep(
     )
 
     def step(xp, bp):
-        out, r2 = call(xp, bp)
+        out, r2 = call(xp, bp, tij, tkp)
         return out, r2[0, 0]
 
     step.kt = kt  # for introspection/benchmarks

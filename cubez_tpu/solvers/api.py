@@ -35,8 +35,10 @@ def _sharded(problem: Problem) -> bool:
 
 
 def _can_fuse(problem: Problem, kind: str, is_maf: bool, impl: str) -> bool:
-    if impl == "jnp" or is_maf or kind not in FUSED:
+    if impl == "jnp" or kind not in FUSED:
         return False
+    if is_maf and (kind not in ("jacobi", "sor2sma") or problem.mc is None):
+        return False  # fused MAF exists for the point sweeps only
     if problem.grid.dtype != jnp.float32:
         return False
     if _sharded(problem):
@@ -80,9 +82,11 @@ def solve(
             from ..pallas_kernels import sweeps as fused
 
             step = fused.make_fused_sweep(
-                kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
+                kind, g.shape_kij, g.dtype, omega=omega,
+                mc=problem.mc if is_maf else None, interpret=interpret,
             )
-            pad, unpad = fused.pad_k2, fused.unpad_k2
+            pad = fused.pad_k2
+            unpad = lambda a: fused.unpad_k2(a, g.shape_kij)
         if step is None:  # no viable tiling — fall back
             step = steps_mod.make_step(problem, solver, omega)
             result = run_iterative(

@@ -47,7 +47,8 @@ def _fused_precon(problem: Problem, precond: str, omega: float, impl: str):
         step = fk.make_fused_sweep(
             kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
         )
-        pad, unpad = fk.pad_k2, fk.unpad_k2
+        pad = fk.pad_k2
+        unpad = lambda a: fk.unpad_k2(a, g.shape_kij)
     elif kind in ("pcr", "pcr_rb"):
         from ..pallas_kernels import pcr as fk
 

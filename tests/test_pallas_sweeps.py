@@ -30,7 +30,7 @@ def test_fused_matches_xla(kind, kt):
 
     xr, r2r = step_ref(prob.x0, prob.rhs)
     xf, r2f = step_f(fused.pad_k2(prob.x0), fused.pad_k2(prob.rhs))
-    assert float(jnp.max(jnp.abs(fused.unpad_k2(xf) - xr))) < 1e-6
+    assert float(jnp.max(jnp.abs(fused.unpad_k2(xf, shape) - xr))) < 1e-6
     assert abs(float(r2f) - float(r2r)) < 1e-5 * max(1.0, float(r2r))
 
 
@@ -45,7 +45,7 @@ def test_fused_b_is_zero(kind):
     )
     xr, _ = step_ref(prob.x0, prob.rhs)
     xf, _ = step_f(fused.pad_k2(prob.x0), fused.pad_k2(prob.rhs))
-    assert float(jnp.max(jnp.abs(fused.unpad_k2(xf) - xr))) < 1e-6
+    assert float(jnp.max(jnp.abs(fused.unpad_k2(xf, shape) - xr))) < 1e-6
 
 
 def test_fused_iterates_without_pad_leakage():
@@ -63,8 +63,8 @@ def test_fused_iterates_without_pad_leakage():
     for _ in range(8):
         xp, _ = step_f(xp, bp)
         xj, _ = step_ref(xj, prob.rhs)
-    assert float(jnp.max(jnp.abs(fused.unpad_k2(xp) - xj))) < 1e-5
-    assert not bool(jnp.any(jnp.isnan(fused.unpad_k2(xp))))
+    assert float(jnp.max(jnp.abs(fused.unpad_k2(xp, shape) - xj))) < 1e-5
+    assert not bool(jnp.any(jnp.isnan(fused.unpad_k2(xp, shape))))
 
 
 def test_solve_api_impl_pallas():
