@@ -46,13 +46,29 @@ from ..ops.tdma import num_stage
 R6 = 1.0 / 6.0
 
 
+def _round_up(v, m):
+    return -(-v // m) * m
+
+
 def to_line_layout(x):
-    """(K, I, J) cube state -> I-padded (I+2, K, J) line-solver state."""
-    return jnp.pad(x.transpose(1, 0, 2), ((1, 1), (0, 0), (0, 0)))
+    """(K, I, J) cube state -> I-padded (I+2, Kp, Jp) line-solver state with
+    K/J rounded up to the (8, 128) tile (DMA slices must be tile-aligned on
+    hardware; pad sublanes/lanes are inert — all consumers mask on true
+    bounds)."""
+    K, I, J = x.shape[-3], x.shape[-2], x.shape[-1]
+    t = x.transpose(1, 0, 2)
+    return jnp.pad(
+        t, ((1, 1), (0, _round_up(K, 8) - K), (0, _round_up(J, 128) - J))
+    )
 
 
-def from_line_layout(xp):
-    return xp[1:-1].transpose(1, 0, 2)
+def from_line_layout(xp, shape=None):
+    """Inverse of to_line_layout; pass the true (K, I, J) ``shape`` for
+    grids that needed K/J tile padding."""
+    if shape is None:
+        return xp[1:-1].transpose(1, 0, 2)
+    K, I, J = shape
+    return xp[1:-1, :K, :J].transpose(1, 0, 2)
 
 
 def _roll(x, shift, axis):
@@ -132,7 +148,7 @@ def _pcr_solve(d, tab_ref, pn, n):
 
 def _pcr_kernel(
     xp_ref, bp_ref, tab_ref, out_ref, r2_ref, xs, bs, outs, in_sems, b_sems, out_sems,
-    *, K, I, J, it, omega, offset, color, b_is_zero, pn
+    *, K, I, J, Kp, Jp, it, omega, offset, color, b_is_zero, pn
 ):
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -174,30 +190,30 @@ def _pcr_kernel(
     if not b_is_zero:
         b_dma(slot, t).wait()
 
-    xv = xs[slot]  # (it+2, K, J)
+    xv = xs[slot]  # (it+2, Kp, Jp)
     xc = xv[1:-1]  # this tile's lines
-    xin = xc[:, 1:-1, :]  # inner K sublanes
+    xin = xc[:, 1 : K - 1, :]  # inner K sublanes (true extent)
     i_start = t * it  # global i of xc line 0
 
     # line masks: inner (i, j) and (i + j + offset) parity
-    gi = jax.lax.broadcasted_iota(jnp.int32, (it, 1, J), 0) + jnp.asarray(
+    gi = jax.lax.broadcasted_iota(jnp.int32, (it, 1, Jp), 0) + jnp.asarray(
         i_start, jnp.int32
     )
-    gj = jax.lax.broadcasted_iota(jnp.int32, (it, 1, J), 2)
+    gj = jax.lax.broadcasted_iota(jnp.int32, (it, 1, Jp), 2)
     inner_line = (gi >= 1) & (gi <= I - 2) & (gj >= 1) & (gj <= J - 2)
     par = jax.lax.rem(gi + gj + jnp.asarray(offset, jnp.int32), jnp.asarray(2, jnp.int32))
 
     # transverse 4-neighbor source over inner K sublanes
     trans = (
-        xv[2:, 1:-1, :]
-        + xv[:-2, 1:-1, :]
+        xv[2:, 1 : K - 1, :]
+        + xv[:-2, 1 : K - 1, :]
         + _roll(xin, -1, 2)
         + _roll(xin, 1, 2)
     )
     if b_is_zero:
         d = trans * R6
     else:
-        d = (trans - bs[slot][:, 1:-1, :]) * R6
+        d = (trans - bs[slot][:, 1 : K - 1, :]) * R6
     # boundary fold: ends absorb the Dirichlet K-faces (cz_solver.f90:578-579)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
     zero = jnp.zeros((), dtype)
@@ -214,9 +230,11 @@ def _pcr_kernel(
     def _():
         out_dma(slot, t - 2).wait()
 
-    outs[slot] = jnp.concatenate(
-        [xc[:, 0:1, :], xin + dp, xc[:, K - 1 : K, :]], axis=1
-    )
+    # pass K-pad sublanes (if any) through unchanged
+    parts = [xc[:, 0:1, :], xin + dp, xc[:, K - 1 : K, :]]
+    if Kp > K:
+        parts.append(xc[:, K:Kp, :])
+    outs[slot] = jnp.concatenate(parts, axis=1)
     out_dma(slot, t).start()
 
     dpf = dp.astype(jnp.float32)
@@ -276,26 +294,24 @@ def make_fused_pcr(
     n = K - 2
     if n < 1:
         return None
-    if not interpret and (K % 8 or J % 128):
-        # HBM<->VMEM DMA slices must be tile-aligned on real hardware; the
-        # XLA path serves unaligned grids until this kernel gains the
-        # pad-to-tile treatment of sweeps.py
-        return None
+    Kp, Jp = _round_up(K, 8), _round_up(J, 128)
     itemsize = jnp.dtype(dtype).itemsize
     if it is None:
-        it = choose_it(shape, itemsize)
+        it = choose_it((Kp, I, Jp), itemsize)
     if it is None or I % it:
         return None
     T = I // it
     pn = num_stage(n)
     tab_np = build_tables(n, dtype)  # (rows, n)
-    tables = jnp.asarray(np.broadcast_to(tab_np[:, :, None], tab_np.shape + (J,)))
+    tables = jnp.asarray(np.broadcast_to(tab_np[:, :, None], tab_np.shape + (Jp,)))
 
     kern = functools.partial(
         _pcr_kernel,
         K=K,
         I=I,
         J=J,
+        Kp=Kp,
+        Jp=Jp,
         it=it,
         omega=float(omega),
         offset=int(offset),
@@ -319,13 +335,13 @@ def make_fused_pcr(
             pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((I + 2, K, J), dtype),
+            jax.ShapeDtypeStruct((I + 2, Kp, Jp), dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, it + 2, K, J), dtype),
-            pltpu.VMEM((2, it, K if not b_is_zero else 1, J), dtype),
-            pltpu.VMEM((2, it, K, J), dtype),
+            pltpu.VMEM((2, it + 2, Kp, Jp), dtype),
+            pltpu.VMEM((2, it, Kp if not b_is_zero else 1, Jp), dtype),
+            pltpu.VMEM((2, it, Kp, Jp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

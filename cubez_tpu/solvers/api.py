@@ -77,7 +77,8 @@ def solve(
             step = fused.make_fused_pcr_step(
                 kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
             )
-            pad, unpad = fused.pad_i1, fused.unpad_i1
+            pad = fused.pad_i1
+            unpad = lambda a: fused.unpad_i1(a, g.shape_kij)
         else:
             from ..pallas_kernels import sweeps as fused
 

@@ -55,7 +55,8 @@ def _fused_precon(problem: Problem, precond: str, omega: float, impl: str):
         step = fk.make_fused_pcr_step(
             kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
         )
-        pad, unpad = fk.to_line_layout, fk.from_line_layout
+        pad = fk.to_line_layout
+        unpad = lambda a: fk.from_line_layout(a, g.shape_kij)
     else:
         return None
     if step is None:

@@ -24,7 +24,7 @@ def test_fused_pcr_matches_xla(kind, it):
         )
     )
     xf, r2f = f(fpcr.pad_i1(prob.x0), fpcr.pad_i1(prob.rhs))
-    assert float(jnp.max(jnp.abs(fpcr.unpad_i1(xf) - xr))) < 2e-6
+    assert float(jnp.max(jnp.abs(fpcr.unpad_i1(xf, prob.grid.shape_kij) - xr))) < 2e-6
     assert abs(float(r2f) - float(r2r)) < 1e-5 * max(1.0, float(r2r))
 
 
@@ -40,7 +40,7 @@ def test_fused_pcr_noncubic_and_b_zero():
         )
     )
     xf, _ = f(fpcr.pad_i1(prob.x0), fpcr.pad_i1(prob.rhs))
-    assert float(jnp.max(jnp.abs(fpcr.unpad_i1(xf) - xr))) < 2e-6
+    assert float(jnp.max(jnp.abs(fpcr.unpad_i1(xf, prob.grid.shape_kij) - xr))) < 2e-6
 
 
 def test_solve_api_pcr_rb_pallas_converges_identically():
