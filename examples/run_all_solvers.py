@@ -1,0 +1,70 @@
+"""Run every solver family on the 64^3 Poisson problem and print a table.
+
+The CubeZ acceptance ritual: each solver's iteration count, final residual,
+analytic max error, and throughput (Readme.md:384-403 invocations).
+
+    python examples/run_all_solvers.py [--tpu]
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+from cubez_tpu import Problem, max_error, solve
+
+N = 64
+ITMAX = 20000
+# documented omegas (Readme.md:386-391, main.cpp:24-27); full-plane line
+# solvers are line-Jacobi and need omega ~1 (see .claude verify notes)
+CONFIGS = [
+    ("jacobi", 0.8, None),
+    ("sor2sma", 1.5, None),
+    ("pcr", 1.0, None),
+    ("pcr_rb", 1.5, None),
+    ("pcr_j_esa", 1.0, None),
+    ("pbicgstab", 1.1, "sor2sma"),
+    ("jacobi_maf", 0.8, None),
+    ("sor2sma_maf", 1.5, None),
+    ("pcr_rb_maf", 1.5, None),
+    ("pbicgstab_maf", 1.1, "sor2sma_maf"),
+]
+
+
+def main():
+    print(f"{'solver':<16}{'omega':>6}{'iters':>8}{'residual':>12}"
+          f"{'err_max':>12}{'Mcells/s':>10}")
+    for name, om, precond in CONFIGS:
+        maf = name.endswith("_maf")
+        prob = Problem.poisson_cube(N, dtype=jnp.float32, maf=maf)
+        t0 = time.perf_counter()
+        r = solve(prob, name, omega=om, itr_max=ITMAX, precond=precond)
+        jax.block_until_ready(r.x)
+        dt = time.perf_counter() - t0
+        err = max_error(prob.grid, r.x)
+        cups = prob.grid.num_inner * r.iters / dt / 1e6
+        print(f"{name:<16}{om:>6}{r.iters:>8}{r.res:>12.3e}{err:>12.3e}"
+              f"{cups:>10.1f}")
+
+    # psor is exact wavefront Gauss-Seidel: (3N-6) sequential masked sweeps
+    # per iteration, so demo it small (its math is tested in tests/)
+    prob = Problem.poisson_cube(24, dtype=jnp.float32)
+    t0 = time.perf_counter()
+    r = solve(prob, "psor", omega=1.1, itr_max=500)
+    jax.block_until_ready(r.x)
+    dt = time.perf_counter() - t0
+    err = max_error(prob.grid, r.x)
+    print(f"{'psor (24^3)':<16}{1.1:>6}{r.iters:>8}{r.res:>12.3e}"
+          f"{err:>12.3e}{prob.grid.num_inner * r.iters / dt / 1e6:>10.1f}")
+
+
+if __name__ == "__main__":
+    main()
