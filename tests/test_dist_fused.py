@@ -1,0 +1,169 @@
+"""Distributed fused-Pallas block sweeps (interpret mode on the CPU mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import lax, shard_map
+from jax.sharding import PartitionSpec as P
+
+from cubez_tpu import Problem
+from cubez_tpu.parallel import dist_fused
+from cubez_tpu.parallel.halo import exchange_halo, pad_zeros, psum_all
+from cubez_tpu.parallel.mesh import FIELD_SPEC, make_mesh
+from cubez_tpu.solvers import steps as steps_mod
+
+
+def cpu8():
+    d = jax.devices("cpu")
+    assert len(d) >= 8
+    return d[:8]
+
+
+def _roundtrip(cm, prob):
+    st = dist_fused.to_block_state(cm, prob.x0)
+    back = dist_fused.from_block_state(cm, st, prob.grid.shape_kij)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(prob.x0))
+
+
+def test_block_state_roundtrip():
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    _roundtrip(cm, prob)
+
+
+def test_single_block_matches_serial_exactly():
+    """div=(1,1,1): the fused block sweep IS the serial sweep."""
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8()[:1], div=(1, 1, 1))
+    step = dist_fused.make_dist_fused_step(prob, cm, "sor2sma", 1.5)
+    assert step is not None
+    serial = steps_mod.make_step(prob, "sor2sma", 1.5)
+
+    xs = dist_fused.to_block_state(cm, prob.x0)
+    bs = dist_fused.to_block_state(cm, prob.rhs)
+    x_ref = prob.x0
+    for _ in range(4):
+        xs, r2d = step(xs, bs)
+        x_ref, r2s = serial(x_ref, prob.rhs)
+    back = dist_fused.from_block_state(cm, xs, prob.grid.shape_kij)
+    assert float(jnp.max(jnp.abs(back - x_ref))) < 1e-6
+    np.testing.assert_allclose(float(r2d), float(r2s), rtol=1e-5)
+
+
+def test_jacobi_8_blocks_matches_jnp_dist():
+    """Jacobi has no inter-color coupling: fused == jnp dist path exactly."""
+    from cubez_tpu.parallel.dist import make_dist_step
+    from cubez_tpu.parallel.mesh import make_mesh
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    fstep = dist_fused.make_dist_fused_step(prob, cm, "jacobi", 0.8)
+    jstep = make_dist_step(prob, cm, "jacobi", 0.8)
+
+    xs = dist_fused.to_block_state(cm, prob.x0)
+    bs = dist_fused.to_block_state(cm, prob.rhs)
+    xj = cm.shard(prob.x0)
+    bj = cm.shard(prob.rhs)
+    for _ in range(4):
+        xs, r2f = fstep(xs, bs)
+        xj, r2j = jstep(xj, bj)
+    back = dist_fused.from_block_state(cm, xs, prob.grid.shape_kij)
+    assert float(jnp.max(jnp.abs(back - xj))) < 1e-6
+    np.testing.assert_allclose(float(r2f), float(r2j), rtol=1e-5)
+
+
+def _lowsync_rb_step(prob, cm, omega):
+    """Reference multi-rank RB-SOR: ONE halo exchange per iteration
+    (cz_Poisson.cpp:194-215), colors not re-synced — jnp oracle for the
+    fused kernel's semantics."""
+    from cubez_tpu.ops import stencil
+    from cubez_tpu.parallel.dist import _global_color_masks
+    from cubez_tpu.parallel.halo import global_offsets
+
+    g = prob.grid
+    dtype = g.dtype
+    msk = prob.msk
+    om = jnp.asarray(omega, dtype)
+
+    def body(xb, bb, mb):
+        xh = exchange_halo(xb)  # once per iteration
+        bh = pad_zeros(bb)
+        cm0, cm1 = _global_color_masks(xb.shape, dtype)
+        r2 = jnp.zeros((), dtype)
+        # color 0 on the halo'd block
+        dp0 = stencil.jacobi_delta(xh, bh, pad_zeros(mb * cm0), om)
+        xh = xh + dp0  # ghosts of dp0 are zero (mask padded with zeros)
+        r2 = r2 + psum_all(jnp.sum(dp0 * dp0))
+        dp1 = stencil.jacobi_delta(xh, bh, pad_zeros(mb * cm1), om)
+        xh = xh + dp1
+        r2 = r2 + psum_all(jnp.sum(dp1 * dp1))
+        return xh[1:-1, 1:-1, 1:-1], r2
+
+    fn = shard_map(
+        body,
+        mesh=cm.mesh,
+        in_specs=(FIELD_SPEC, FIELD_SPEC, FIELD_SPEC),
+        out_specs=(FIELD_SPEC, P()),
+    )
+    return lambda x, b: fn(x, b, cm.shard(msk))
+
+
+def test_sor2sma_color_sync_matches_jnp_dist():
+    """sync='color' == the per-color-exchange jnp dist path exactly."""
+    from cubez_tpu.parallel.dist import make_dist_step
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    fstep = dist_fused.make_dist_fused_step(prob, cm, "sor2sma", 1.5)
+    jstep = make_dist_step(prob, cm, "sor2sma", 1.5)
+
+    xs = dist_fused.to_block_state(cm, prob.x0)
+    bs = dist_fused.to_block_state(cm, prob.rhs)
+    xj = cm.shard(prob.x0)
+    bj = cm.shard(prob.rhs)
+    for _ in range(4):
+        xs, r2f = fstep(xs, bs)
+        xj, r2j = jstep(xj, bj)
+    back = dist_fused.from_block_state(cm, xs, prob.grid.shape_kij)
+    assert float(jnp.max(jnp.abs(back - xj))) < 1e-6
+    np.testing.assert_allclose(float(r2f), float(r2j), rtol=1e-4)
+
+
+def test_sor2sma_8_blocks_matches_lowsync_oracle():
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    fstep = dist_fused.make_dist_fused_step(prob, cm, "sor2sma", 1.5, sync="iter")
+    ostep = _lowsync_rb_step(prob, cm, 1.5)
+
+    xs = dist_fused.to_block_state(cm, prob.x0)
+    bs = dist_fused.to_block_state(cm, prob.rhs)
+    xo = cm.shard(prob.x0)
+    bo = cm.shard(prob.rhs)
+    for _ in range(4):
+        xs, r2f = fstep(xs, bs)
+        xo, r2o = ostep(xo, bo)
+    back = dist_fused.from_block_state(cm, xs, prob.grid.shape_kij)
+    assert float(jnp.max(jnp.abs(back - xo))) < 1e-6
+    np.testing.assert_allclose(float(r2f), float(r2o), rtol=1e-4)
+
+
+def test_sor2sma_dist_fused_converges():
+    from cubez_tpu import max_error
+    from cubez_tpu.solvers.driver import run_iterative
+
+    n = 32
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    step = dist_fused.make_dist_fused_step(prob, cm, "sor2sma", 1.5)
+    xs = dist_fused.to_block_state(cm, prob.x0)
+    bs = dist_fused.to_block_state(cm, prob.rhs)
+    res = run_iterative(step, xs, bs, prob.grid.res_normal, itr_max=2000)
+    assert res.res < 1e-5
+    back = dist_fused.from_block_state(cm, res.x, prob.grid.shape_kij)
+    assert max_error(prob.grid, back) < 2e-3
