@@ -74,16 +74,12 @@ def main(argv=None):
     dtype = jnp.float64 if args.fp64 else jnp.float32
     prob = Problem.poisson_cube((gx, gy, gz), dtype=dtype, maf=is_maf)
 
+    cm = None
     if args.dist or gdv:
-        import dataclasses
-
         from .parallel.mesh import make_mesh
 
         div = (gdv[2], gdv[0], gdv[1]) if gdv else None  # argv order x,y,z -> z,x,y
         cm = make_mesh((gz, gx, gy), div=div)
-        prob = dataclasses.replace(
-            prob, x0=cm.shard(prob.x0), rhs=cm.shard(prob.rhs), msk=cm.shard(prob.msk)
-        )
         print(f"mesh division (z,x,y) = {cm.div}")
 
     print(f"Iterative Method = {args.solver}")
@@ -91,16 +87,31 @@ def main(argv=None):
         print(f"Preconditioner = {precond}")
 
     t0 = time.perf_counter()
-    res = solve(
-        prob,
-        args.solver,
-        omega=args.coef,
-        itr_max=args.itr_max,
-        eps=args.eps,
-        precond=precond,
-        history_path=f"{args.solver}.txt",
-        impl=args.impl,
-    )
+    if cm is not None and kind != "pbicgstab":
+        from .parallel.api import solve_dist
+
+        res = solve_dist(
+            prob, cm, args.solver, omega=args.coef, itr_max=args.itr_max,
+            eps=args.eps, history_path=f"{args.solver}.txt", impl=args.impl,
+        )
+    else:
+        if cm is not None:  # BiCGSTAB distributes via auto-SPMD sharding
+            import dataclasses
+
+            prob = dataclasses.replace(
+                prob, x0=cm.shard(prob.x0), rhs=cm.shard(prob.rhs),
+                msk=cm.shard(prob.msk),
+            )
+        res = solve(
+            prob,
+            args.solver,
+            omega=args.coef,
+            itr_max=args.itr_max,
+            eps=args.eps,
+            precond=precond,
+            history_path=f"{args.solver}.txt",
+            impl=args.impl,
+        )
     jax.block_until_ready(res.x)
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,78 @@
+"""Distributed solve API — the multi-chip counterpart of solvers.api.solve.
+
+    from cubez_tpu.parallel import solve_dist, make_mesh
+    cm = make_mesh(prob.grid.shape_kij)          # all local devices
+    result = solve_dist(prob, cm, "sor2sma", omega=1.5, itr_max=10000)
+
+Chooses the fastest available step implementation per solver:
+fused per-block Pallas sweeps (jacobi/sor2sma, f32) > explicit shard_map
+jnp steps (all families incl. MAF and the line solvers) — and runs the
+same while_loop driver/convergence logic as the serial path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.problem import Problem
+from ..solvers.driver import EPS_DEFAULT, SolveResult, run_iterative
+from . import dist_fused
+from .dist import make_dist_step
+from .mesh import CubeMesh
+
+
+def solve_dist(
+    problem: Problem,
+    cmesh: CubeMesh,
+    solver: str,
+    omega: float,
+    itr_max: int,
+    eps: float = EPS_DEFAULT,
+    history_path: Optional[str] = None,
+    impl: str = "auto",
+    sync: str = "color",
+) -> SolveResult:
+    """Run a relaxation/line solver distributed over the mesh.
+
+    The returned SolveResult.x is the assembled global (K, I, J) field.
+    ``sync`` selects the red-black halo cadence (see dist_fused).
+    """
+    g = problem.grid
+    kind = solver.lower()
+    use_fused = (
+        impl != "jnp"
+        and g.dtype == jnp.float32
+        and kind in ("jacobi", "sor2sma")
+    )
+
+    step = None
+    if use_fused:
+        step = dist_fused.make_dist_fused_step(
+            problem, cmesh, kind, omega, sync=sync,
+            interpret=(jax.default_backend() != "tpu"),
+        )
+    if step is not None:
+        xs = dist_fused.to_block_state(cmesh, problem.x0)
+        bs = dist_fused.to_block_state(cmesh, problem.rhs)
+        result = run_iterative(step, xs, bs, g.res_normal, itr_max, eps)
+        x = dist_fused.from_block_state(cmesh, result.x, g.shape_kij)
+        import dataclasses
+
+        result = dataclasses.replace(result, x=x)
+    else:
+        step = make_dist_step(problem, cmesh, solver, omega)
+        result = run_iterative(
+            step,
+            cmesh.shard(problem.x0),
+            cmesh.shard(problem.rhs),
+            g.res_normal,
+            itr_max,
+            eps,
+        )
+
+    if history_path:
+        result.write_history(history_path)
+    return result

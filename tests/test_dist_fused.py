@@ -167,3 +167,21 @@ def test_sor2sma_dist_fused_converges():
     assert res.res < 1e-5
     back = dist_fused.from_block_state(cm, res.x, prob.grid.shape_kij)
     assert max_error(prob.grid, back) < 2e-3
+
+
+def test_solve_dist_api():
+    from cubez_tpu import max_error
+    from cubez_tpu.parallel.api import solve_dist
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    r = solve_dist(prob, cm, "sor2sma", omega=1.5, itr_max=2000)
+    assert r.res < 1e-5
+    assert r.x.shape == prob.grid.shape_kij
+    assert max_error(prob.grid, r.x) < 5e-3
+    # serial-equivalent: same iteration count as the single-device solve
+    from cubez_tpu import solve
+
+    rs = solve(prob, "sor2sma", omega=1.5, itr_max=2000, impl="jnp")
+    assert r.iters == rs.iters
