@@ -146,9 +146,30 @@ def _pcr_solve(d, tab_ref, pn, n):
     return jnp.concatenate([x_lo[:, :s], _roll(x_hi, s, 1)[:, s:]], axis=1)
 
 
+def _pcr_solve_var(a, c, d, pn):
+    """Variable-coefficient PCR stages + final 2x2 on (it, n, J) arrays
+    (the in-VMEM pcr_reduce_var; zero-propagation of the a/c ends makes the
+    roll wraparound multiply exactly zero at every stage)."""
+    for p in range(pn - 1):
+        s = 2**p
+        al, cl, dl = _roll(a, s, 1), _roll(c, s, 1), _roll(d, s, 1)  # [k-s]
+        ar, cr, dr = _roll(a, -s, 1), _roll(c, -s, 1), _roll(d, -s, 1)  # [k+s]
+        e = 1.0 / (1.0 - a * cl - c * ar)
+        a, c, d = -e * a * al, -e * c * cr, e * (d - a * dl - c * dr)
+
+    s = 2 ** (pn - 1)
+    d_hi = _roll(d, -s, 1)
+    a_hi = _roll(a, -s, 1)
+    jj = 1.0 / (1.0 - a_hi * c)
+    x_lo = (d - c * d_hi) * jj
+    x_hi = (d_hi - a_hi * d) * jj
+    return jnp.concatenate([x_lo[:, :s], _roll(x_hi, s, 1)[:, s:]], axis=1)
+
+
 def _pcr_kernel(
-    xp_ref, bp_ref, tab_ref, out_ref, r2_ref, xs, bs, outs, in_sems, b_sems, out_sems,
-    *, K, I, J, Kp, Jp, it, omega, offset, color, b_is_zero, pn
+    xp_ref, bp_ref, tab_ref, tabi_ref, tabj_ref, tabk_ref, out_ref, r2_ref,
+    xs, bs, outs, in_sems, b_sems, out_sems,
+    *, K, I, J, Kp, Jp, it, omega, offset, color, b_is_zero, pn, maf
 ):
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -203,25 +224,55 @@ def _pcr_kernel(
     inner_line = (gi >= 1) & (gi <= I - 2) & (gj >= 1) & (gj <= J - 2)
     par = jax.lax.rem(gi + gj + jnp.asarray(offset, jnp.int32), jnp.asarray(2, jnp.int32))
 
-    # transverse 4-neighbor source over inner K sublanes
-    trans = (
-        xv[2:, 1 : K - 1, :]
-        + xv[:-2, 1 : K - 1, :]
-        + _roll(xin, -1, 2)
-        + _roll(xin, 1, 2)
-    )
-    if b_is_zero:
-        d = trans * R6
-    else:
-        d = (trans - bs[slot][:, 1 : K - 1, :]) * R6
-    # boundary fold: ends absorb the Dirichlet K-faces (cz_solver.f90:578-579)
     kidx = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
     zero = jnp.zeros((), dtype)
-    d = d + jnp.where(kidx == 0, xc[:, 0:1, :] * R6, zero)
-    d = d + jnp.where(kidx == n - 1, xc[:, K - 1 : K, :] * R6, zero)
-    d = jnp.where(inner_line, d, zero)
+    xip = xv[2:, 1 : K - 1, :]  # x(i+1)
+    xim = xv[:-2, 1 : K - 1, :]  # x(i-1)
+    xjp = _roll(xin, -1, 2)  # x(j+1); lane wrap lands on masked j-boundary
+    xjm = _roll(xin, 1, 2)
+    bmid = None if b_is_zero else bs[slot][:, 1 : K - 1, :]
 
-    sol = _pcr_solve(d, tab_ref, pn, n)
+    if not maf:
+        # transverse 4-neighbor source over inner K sublanes; boundary fold:
+        # ends absorb the Dirichlet K-faces (cz_solver.f90:578-579) —
+        # row-select via where (scatter/.at stores don't lower on TPU)
+        trans = xip + xim + xjp + xjm
+        d = trans * R6 if bmid is None else (trans - bmid) * R6
+        d = d + jnp.where(kidx == 0, xc[:, 0:1, :] * R6, zero)
+        d = d + jnp.where(kidx == n - 1, xc[:, K - 1 : K, :] * R6, zero)
+        d = jnp.where(inner_line, d, zero)
+        sol = _pcr_solve(d, tab_ref, pn, n)
+    else:
+        # variable (MAF) tridiagonal from the separable metric tables,
+        # normalized to unit diagonal by dw = 0.5/(C1+C2+C3)
+        # (build_line_system_maf / pcr_rb_maf, cz_maf.f90:519-572)
+        ti = tabi_ref[pl.ds(t * it, it)]  # (it, 2, Jp)
+        c1 = ti[:, 0:1, :]
+        c7 = ti[:, 1:2, :]
+        c2 = tabj_ref[0][None]
+        c8 = tabj_ref[1][None]
+        c3 = tabk_ref[0][None]
+        c9 = tabk_ref[1][None]
+        half = jnp.asarray(0.5, dtype)
+        dw = half / (c1 + c2 + c3)
+        wzm = (c3 - half * c9) * dw
+        wzp = (c3 + half * c9) * dw
+        ones = jnp.ones_like(xin)
+        a = jnp.where(kidx == 0, zero, -wzm) * ones
+        c = jnp.where(kidx == n - 1, zero, -wzp) * ones
+        trans = (
+            (c1 + half * c7) * xip
+            + (c1 - half * c7) * xim
+            + (c2 + half * c8) * xjp
+            + (c2 - half * c8) * xjm
+        )
+        d = trans * dw if bmid is None else (trans - bmid) * dw
+        d = d + jnp.where(kidx == 0, wzm * xc[:, 0:1, :], zero)
+        d = d + jnp.where(kidx == n - 1, wzp * xc[:, K - 1 : K, :], zero)
+        d = jnp.where(inner_line, d, zero)
+        a = jnp.where(inner_line, a, zero)
+        c = jnp.where(inner_line, c, zero)
+        sol = _pcr_solve_var(a, c, d, pn)
 
     upd = inner_line if color is None else inner_line & (par == color)
     dp = jnp.where(upd, (sol - xin) * omega, zero)
@@ -279,6 +330,7 @@ def make_fused_pcr(
     offset: int = 0,
     it: int | None = None,
     b_is_zero: bool = False,
+    mc=None,
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
@@ -287,8 +339,9 @@ def make_fused_pcr(
 
     ``color=None`` is the full-plane line-Jacobi pass (reference pcr /
     pcr_eda / pcr_esa / pcr_j_esa); color 0/1 updates only lines with
-    (i + j + offset) % 2 == color (reference pcr_rb).  Returns None if no
-    viable I tiling exists.
+    (i + j + offset) % 2 == color (reference pcr_rb).  ``mc`` (MafCoeffs)
+    switches to the variable-coefficient MAF line solve (pcr_*_maf family).
+    Returns None if no viable I tiling exists.
     """
     K, I, J = shape
     n = K - 2
@@ -302,8 +355,42 @@ def make_fused_pcr(
         return None
     T = I // it
     pn = num_stage(n)
-    tab_np = build_tables(n, dtype)  # (rows, n)
-    tables = jnp.asarray(np.broadcast_to(tab_np[:, :, None], tab_np.shape + (Jp,)))
+    maf = mc is not None
+
+    if maf:
+        npdt = np.dtype(dtype)
+        tables = jnp.zeros((1, 8, Jp), dtype)  # unused in the MAF branch
+
+        def lane(v, m):
+            return np.broadcast_to(
+                np.asarray(v, npdt).reshape(m)[:, None], (m, Jp)
+            )
+
+        tabi = jnp.asarray(
+            np.stack([lane(mc.c1, I), lane(mc.c7, I)], axis=1)
+        )  # (I, 2, Jp)
+        tabj_np = np.zeros((2, 1, Jp), npdt)
+        tabj_np[0, 0, :J] = np.asarray(mc.c2, npdt).reshape(J)
+        tabj_np[1, 0, :J] = np.asarray(mc.c8, npdt).reshape(J)
+        # pad lanes 1.0 on c2 so dw stays finite there (values masked)
+        tabj_np[0, 0, J:] = 1.0
+        tabj = jnp.asarray(tabj_np)
+        c3v = np.asarray(mc.c3, npdt).reshape(K)[1 : K - 1]
+        c9v = np.asarray(mc.c9, npdt).reshape(K)[1 : K - 1]
+        tabk = jnp.asarray(
+            np.stack(
+                [np.broadcast_to(c3v[:, None], (n, Jp)),
+                 np.broadcast_to(c9v[:, None], (n, Jp))]
+            )
+        )  # (2, n, Jp)
+    else:
+        tab_np = build_tables(n, dtype)  # (rows, n)
+        tables = jnp.asarray(
+            np.broadcast_to(tab_np[:, :, None], tab_np.shape + (Jp,))
+        )
+        tabi = jnp.zeros((it, 2, Jp), dtype)
+        tabj = jnp.zeros((2, 1, Jp), dtype)
+        tabk = jnp.zeros((2, 8, Jp), dtype)
 
     kern = functools.partial(
         _pcr_kernel,
@@ -318,9 +405,10 @@ def make_fused_pcr(
         color=color,
         b_is_zero=bool(b_is_zero),
         pn=pn,
+        maf=maf,
     )
 
-    flops = int((6 + 14 * (pn - 1) + 9 + 12) * K * I * J)
+    flops = int((6 + (42 if maf else 14) * (pn - 1) + 9 + 12) * K * I * J)
     passes = 2 if b_is_zero else 3
     call = pl.pallas_call(
         kern,
@@ -328,6 +416,9 @@ def make_fused_pcr(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -357,7 +448,7 @@ def make_fused_pcr(
     )
 
     def pass_(xp, bp):
-        out, r2 = call(xp, bp, tables)
+        out, r2 = call(xp, bp, tables, tabi, tabj, tabk)
         return out, r2[0, 0]
 
     pass_.it = it
@@ -373,12 +464,14 @@ def make_fused_pcr_step(
     offset: int = 0,
     it: int | None = None,
     b_is_zero: bool = False,
+    mc=None,
     interpret: bool = False,
 ):
     """step(xp, bp) -> (xp_new, r2) for 'pcr' (full plane) or 'pcr_rb'
-    (both colors, serial-equivalent).  None if no viable tiling."""
+    (both colors, serial-equivalent); ``mc`` selects the MAF variant.
+    None if no viable tiling."""
     kw = dict(
-        omega=omega, offset=offset, it=it, b_is_zero=b_is_zero,
+        omega=omega, offset=offset, it=it, b_is_zero=b_is_zero, mc=mc,
         interpret=interpret,
     )
     if kind == "pcr":

@@ -37,8 +37,8 @@ def _sharded(problem: Problem) -> bool:
 def _can_fuse(problem: Problem, kind: str, is_maf: bool, impl: str) -> bool:
     if impl == "jnp" or kind not in FUSED:
         return False
-    if is_maf and (kind not in ("jacobi", "sor2sma") or problem.mc is None):
-        return False  # fused MAF exists for the point sweeps only
+    if is_maf and problem.mc is None:
+        return False
     if problem.grid.dtype != jnp.float32:
         return False
     if _sharded(problem):
@@ -75,7 +75,8 @@ def solve(
             from ..pallas_kernels import pcr as fused
 
             step = fused.make_fused_pcr_step(
-                kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
+                kind, g.shape_kij, g.dtype, omega=omega,
+                mc=problem.mc if is_maf else None, interpret=interpret,
             )
             pad = fused.pad_i1
             unpad = lambda a: fused.unpad_i1(a, g.shape_kij)

@@ -78,3 +78,28 @@ def test_build_tables_solves_line():
     x_hi = (d_hi - a_hi * dd) * jj
     x = np.concatenate([x_lo[:s], x_hi[: n - s]])
     np.testing.assert_allclose(x, ref, atol=1e-10)
+
+
+@pytest.mark.parametrize("kind,alias", [("pcr", "pcr_maf"), ("pcr_rb", "pcr_rb_maf")])
+def test_fused_pcr_maf_matches_xla(kind, alias):
+    prob = Problem.poisson_cube(16, dtype=jnp.float32, maf=True)
+    shape = prob.grid.shape_kij
+    ref = jax.jit(make_step(prob, alias, omega=1.0))
+    xr, r2r = ref(prob.x0, prob.rhs)
+    f = jax.jit(
+        fpcr.make_fused_pcr_step(
+            kind, shape, jnp.float32, omega=1.0, it=4, mc=prob.mc,
+            interpret=True,
+        )
+    )
+    xf, r2f = f(fpcr.to_line_layout(prob.x0), fpcr.to_line_layout(prob.rhs))
+    assert float(jnp.max(jnp.abs(fpcr.from_line_layout(xf, shape) - xr))) < 3e-6
+    assert abs(float(r2f) - float(r2r)) < 1e-4 * max(1.0, float(r2r))
+
+
+def test_solve_api_pcr_rb_maf_pallas():
+    prob = Problem.poisson_cube(16, dtype=jnp.float32, maf=True)
+    rj = solve(prob, "pcr_rb_maf", omega=1.5, itr_max=300, impl="jnp")
+    rp = solve(prob, "pcr_rb_maf", omega=1.5, itr_max=300, impl="pallas")
+    assert rj.iters == rp.iters
+    assert rj.res < 1e-5
