@@ -52,7 +52,7 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
-    from . import Problem, max_error, solve
+    from . import Problem, solve
     from .solvers.steps import parse_name
 
     precond = None

@@ -35,7 +35,7 @@ from ..ops import pcr as pcr_ops
 from ..ops import stencil
 from ..ops.tdma import num_stage
 from .halo import exchange_halo, global_offsets, pad_zeros, psum_all
-from .mesh import AXES, CubeMesh, FIELD_SPEC
+from .mesh import CubeMesh, FIELD_SPEC
 
 
 def _global_color_masks(block_shape, dtype):

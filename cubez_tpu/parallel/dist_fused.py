@@ -9,11 +9,11 @@ device (pallas_kernels/dist_sweeps.py layout), an iteration is
 
 which is exactly the reference's multi-rank skeleton — kernel, Comm_S(X,1),
 Comm_SUM_1 (cz_Poisson.cpp:39-79) — with the kernel at per-chip roofline.
-Halo semantics follow the reference: ONE exchange per iteration, colors not
-re-synced in between (cz_Poisson.cpp:194-215).
+Red-black halo cadence is selectable (see make_dist_fused_step): per-color
+exchange (serial-equivalent, default) or the reference's single exchange
+per iteration (cz_Poisson.cpp:194-215).
 
-The jnp steps in parallel/dist.py remain as the portable/reference path
-(they exchange per color — strictly more synchronized).
+The jnp steps in parallel/dist.py remain as the portable/reference path.
 """
 
 from __future__ import annotations
@@ -24,12 +24,7 @@ from jax import lax, shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..core.problem import Problem
-from ..pallas_kernels.dist_sweeps import (
-    block_layout,
-    make_block_sweep,
-    pad_block,
-    unpad_block,
-)
+from ..pallas_kernels.dist_sweeps import make_block_sweep, pad_block, unpad_block
 from .mesh import AXES, CubeMesh, FIELD_SPEC
 
 
@@ -43,7 +38,7 @@ def _block_shape(cmesh: CubeMesh, gshape):
 
 def to_block_state(cmesh: CubeMesh, arr):
     """Global (K, I, J) array -> sharded ghosted-padded block state."""
-    bs = _block_shape(cmesh, arr.shape)
+    _block_shape(cmesh, arr.shape)  # validate divisibility
     fn = shard_map(
         pad_block, mesh=cmesh.mesh, in_specs=(FIELD_SPEC,), out_specs=FIELD_SPEC
     )

@@ -21,7 +21,7 @@ from ..core.problem import Problem
 from ..ops import blas
 from ..ops import maf as maf_ops
 from . import steps as steps_mod
-from .driver import EPS_DEFAULT, SolveResult, _res_dtype, fixed_sweeps
+from .driver import SolveResult, _res_dtype, fixed_sweeps
 
 FLT_MIN = float(np.finfo(np.float32).tiny)  # rho breakdown (cz_Poisson.cpp:379)
 PRECOND_SWEEPS = 8

@@ -1,0 +1,97 @@
+"""BASELINE.md protocol runner: solve the reference's benchmark configs to
+tolerance on the current backend and write BENCH_RESULTS.md.
+
+    python scripts/bench_protocol.py [--out BENCH_RESULTS.md]
+
+Each row is a full convergent solve (compile excluded from the timing by a
+short warm-up solve of the same shape), so the numbers are end-to-end
+solver throughput, not kernel microbenchmarks.
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+from cubez_tpu import Problem, max_error, solve
+
+# (label, N, solver, omega, precond, itr_max)
+CONFIGS = [
+    ("jacobi 64^3", 64, "jacobi", 0.8, None, 20000),
+    ("sor2sma 128^3", 128, "sor2sma", 1.5, None, 20000),
+    ("pcr_rb 128^3", 128, "pcr_rb", 1.5, None, 20000),
+    ("sor2sma_maf 128^3", 128, "sor2sma_maf", 1.5, None, 20000),
+    ("pcr_rb_maf 128^3", 128, "pcr_rb_maf", 1.5, None, 20000),
+    ("pbicgstab+sor2sma 64^3", 64, "pbicgstab", 1.1, "sor2sma", 4000),
+    ("pbicgstab+sor2sma 128^3", 128, "pbicgstab", 1.1, "sor2sma", 4000),
+]
+
+
+def run_one(label, n, solver, omega, precond, itr_max):
+    maf = solver.endswith("_maf")
+    prob = Problem.poisson_cube(n, dtype=jnp.float32, maf=maf)
+    # warm-up (compile) with a tiny iteration budget on the same shapes
+    solve(prob, solver, omega=omega, itr_max=2, precond=precond)
+    t0 = time.perf_counter()
+    r = solve(prob, solver, omega=omega, itr_max=itr_max, precond=precond)
+    jax.block_until_ready(r.x)
+    dt = time.perf_counter() - t0
+    err = max_error(prob.grid, r.x)
+    cups = prob.grid.num_inner * r.iters / dt
+    return {
+        "label": label,
+        "iters": r.iters,
+        "res": r.res,
+        "err": err,
+        "wall_s": dt,
+        "mcups": cups / 1e6,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_RESULTS.md")
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
+    rows = []
+    for cfg in CONFIGS:
+        try:
+            rows.append(run_one(*cfg))
+            r = rows[-1]
+            print(
+                f"{r['label']:<26} iters={r['iters']:<6} res={r['res']:.3e} "
+                f"err={r['err']:.3e} wall={r['wall_s']:.2f}s "
+                f"{r['mcups']:.0f} Mcells/s",
+                flush=True,
+            )
+        except Exception as e:  # keep going; report the failure
+            print(f"{cfg[0]}: FAILED {type(e).__name__}: {e}", flush=True)
+            rows.append({"label": cfg[0], "error": str(e)[:200]})
+
+    with open(args.out, "w") as f:
+        f.write("# BENCH_RESULTS — solve-to-tolerance protocol\n\n")
+        f.write(f"Device: {kind} (backend {jax.default_backend()}), eps=1e-5, f32.\n")
+        f.write("Timing covers the full convergent solve (compile excluded "
+                "via a warm-up solve).\n\n")
+        f.write("| config | iters | residual | err_max | wall [s] | Mcells/s |\n")
+        f.write("|---|---|---|---|---|---|\n")
+        for r in rows:
+            if "error" in r:
+                f.write(f"| {r['label']} | FAILED: {r['error']} | | | | |\n")
+            else:
+                f.write(
+                    f"| {r['label']} | {r['iters']} | {r['res']:.3e} | "
+                    f"{r['err']:.3e} | {r['wall_s']:.2f} | {r['mcups']:.0f} |\n"
+                )
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
