@@ -1,0 +1,257 @@
+"""Block-local fused line-PCR for the distributed (shard_map) path.
+
+Line-solver analog of dist_sweeps.py: each device holds its block in
+**ghosted line layout** (li+2, lkp, ljp) — I leading (ghost columns at 0
+and li+1), K on sublanes including the two K-ghost rows (extent lk+2,
+padded to the 8-tile), J on lanes (ghost lanes at 0 and lj+1, padded to
+the 128-tile).
+
+K-lines stay block-local exactly like the reference's multi-rank line
+solvers (SURVEY §2.5): each local line is extended with its two ghost rows
+as **identity equations** (x_ghost = known) — algebraically the reference's
+``d(kst) += x(kst-1)/6`` end fold (cz_solver.f90:578-579) — which also
+makes rows on the physical Dirichlet faces identity rows, so one uniform
+SPMD program serves boundary and interior blocks.  The identity
+formulation makes the tridiagonal data-dependent, so the stages run the
+variable-coefficient PCR recurrence in VMEM (same math as
+parallel/dist.py's jnp ``line_solve``, which the tests compare against).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.tdma import num_stage
+from .pcr import R6, _pcr_solve_var, _roll, choose_it
+from .sweeps import _round_up
+
+
+def line_block_layout(block_shape):
+    """(lk, li, lj) -> per-block line state shape (li+2, lkp, ljp)."""
+    lk, li, lj = block_shape
+    return (li + 2, _round_up(lk + 2, 8), _round_up(lj + 2, 128))
+
+
+def pad_line_block(xb):
+    """Local (lk, li, lj) block -> ghosted line state (li+2, lkp, ljp)."""
+    lk, li, lj = xb.shape
+    _, kp, jp = line_block_layout(xb.shape)
+    t = xb.transpose(1, 0, 2)  # (li, lk, lj)
+    return jnp.pad(t, ((1, 1), (1, kp - lk - 1), (1, jp - lj - 1)))
+
+
+def unpad_line_block(xp, block_shape):
+    lk, li, lj = block_shape
+    return xp[1 : li + 1, 1 : lk + 1, 1 : lj + 1].transpose(1, 0, 2)
+
+
+def _dist_pcr_kernel(
+    offs_ref, xp_ref, bp_ref, out_ref, r2_ref,
+    xs, bs, outs, in_sems, b_sems, out_sems,
+    *, gshape, lk, li, lj, Kp, Jp, it, omega, offset, color, b_is_zero, pn
+):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    two = jnp.asarray(2, t.dtype)
+    slot = jax.lax.rem(t, two)
+    nslot = jax.lax.rem(t + 1, two)
+    dtype = xs.dtype
+    Kg, Ig, Jg = gshape
+    n = lk + 2  # line extent including the two ghost/identity rows
+
+    def in_dma(s, idx):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * it, it + 2)], xs.at[s], in_sems.at[s]
+        )
+
+    def b_dma(s, idx):
+        return pltpu.make_async_copy(
+            bp_ref.at[pl.ds(idx * it + 1, it)], bs.at[s], b_sems.at[s]
+        )
+
+    def out_dma(s, idx):
+        return pltpu.make_async_copy(
+            outs.at[s], out_ref.at[pl.ds(idx * it + 1, it)], out_sems.at[s]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        in_dma(0, 0).start()
+        if not b_is_zero:
+            b_dma(0, 0).start()
+        r2_ref[0, 0] = jnp.zeros((), jnp.float32)
+
+    @pl.when(t + 1 < T)
+    def _():
+        in_dma(nslot, t + 1).start()
+        if not b_is_zero:
+            b_dma(nslot, t + 1).start()
+
+    in_dma(slot, t).wait()
+    if not b_is_zero:
+        b_dma(slot, t).wait()
+
+    xv = xs[slot]  # (it+2, Kp, Jp)
+    xc = xv[1:-1]
+    xline = xc[:, :n, :]  # line extent: ghost, lk locals, ghost
+
+    k0g = offs_ref[0, 0]
+    i0g = offs_ref[0, 1]
+    j0g = offs_ref[0, 2]
+
+    # update mask from global indices (ghost cols/lanes are never local);
+    # xc column ci maps to state row t*it + ci + 1, i.e. local i = t*it + ci
+    ci = jax.lax.broadcasted_iota(jnp.int32, (it, 1, Jp), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (it, 1, Jp), 2)
+    li_idx = ci + (t * it)
+    gi = li_idx + i0g
+    gj = cj - 1 + j0g
+    line_ok = (
+        (li_idx >= 0) & (li_idx <= li - 1) & (cj >= 1) & (cj <= lj)
+        & (gi >= 1) & (gi <= Ig - 2) & (gj >= 1) & (gj <= Jg - 2)
+    )
+    par = jax.lax.rem(
+        gi + gj + jnp.asarray(offset + 4, jnp.int32), jnp.asarray(2, jnp.int32)
+    )
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    gk = kidx - 1 + k0g  # line row 0 is the low ghost (global k0g-1)
+    inner_k = (kidx >= 1) & (kidx <= lk) & (gk >= 1) & (gk <= Kg - 2)
+    m = line_ok & inner_k  # rows that get the stencil equation
+
+    zero = jnp.zeros((), dtype)
+    r6 = jnp.asarray(R6, dtype)
+    trans = (
+        xv[2:, :n, :]
+        + xv[:-2, :n, :]
+        + _roll(xline, -1, 2)
+        + _roll(xline, 1, 2)
+    )
+    if b_is_zero:
+        rhs = trans * r6
+    else:
+        rhs = (trans - bs[slot][:, :n, :]) * r6
+    # identity equations (x = current value) on every non-stencil row:
+    # ghosts, physical-boundary rows, and non-line columns
+    a = jnp.where(m, -r6, zero)
+    c = jnp.where(m, -r6, zero)
+    d = jnp.where(m, rhs, xline)
+
+    sol = _pcr_solve_var(a, c, d, pn)
+
+    upd = m if color is None else m & (par == color)
+    dp = jnp.where(upd, (sol - xline) * omega, zero)
+
+    @pl.when(t >= 2)
+    def _():
+        out_dma(slot, t - 2).wait()
+
+    # pass pad K-sublanes through unchanged
+    outs[slot] = jnp.concatenate([xline + dp, xc[:, n:, :]], axis=1)
+    out_dma(slot, t).start()
+
+    dpf = dp.astype(jnp.float32)
+    r2_ref[0, 0] += jnp.sum(dpf * dpf)
+
+    @pl.when(t == T - 1)
+    def _():
+        out_dma(slot, t).wait()
+
+    @pl.when((t == T - 1) & (t >= 1))
+    def _():
+        out_dma(nslot, t - 1).wait()
+
+
+def make_block_pcr(
+    block_shape,
+    gshape,
+    dtype=jnp.float32,
+    *,
+    omega: float,
+    color: int | None = None,
+    offset: int = 0,
+    it: int | None = None,
+    b_is_zero: bool = False,
+    vmem_limit_bytes: int = 100 << 20,
+    interpret: bool = False,
+):
+    """Build ``sweep(xp, bp, offs) -> (xp_new, r2_local)`` on the block line
+    state; ``offs`` = (1,3) int32 global (k0, i0, j0).  ``color`` as in the
+    serial fused PCR.  None if no viable I tiling.
+
+    PCR depth is num_stage(lk+2) — the local line plus its identity ghost
+    rows, matching parallel/dist.py's jnp line_solve bit-for-bit.
+    """
+    lk, li, lj = block_shape
+    Ip, Kp, Jp = line_block_layout(block_shape)
+    if lk < 1:
+        return None
+    itemsize = jnp.dtype(dtype).itemsize
+    if it is None:
+        it = choose_it((Kp, li, Jp), itemsize)
+    if it is None or li % it:
+        return None
+    T = li // it
+    pn = num_stage(lk + 2)
+
+    kern = functools.partial(
+        _dist_pcr_kernel,
+        gshape=tuple(gshape),
+        lk=lk,
+        li=li,
+        lj=lj,
+        Kp=Kp,
+        Jp=Jp,
+        it=it,
+        omega=float(omega),
+        offset=int(offset),
+        color=color,
+        b_is_zero=bool(b_is_zero),
+        pn=pn,
+    )
+
+    call = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 3), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((li + 2, Kp, Jp), dtype),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, it + 2, Kp, Jp), dtype),
+            pltpu.VMEM((2, it, Kp if not b_is_zero else 1, Jp), dtype),
+            pltpu.VMEM((2, it, Kp, Jp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int((6 + 42 * (pn - 1) + 21) * lk * li * lj),
+            bytes_accessed=(2 if b_is_zero else 3) * Ip * Kp * Jp * itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )
+
+    def sweep(xp, bp, offs):
+        out, r2 = call(offs, xp, bp)
+        return out, r2[0, 0]
+
+    sweep.it = it
+    return sweep

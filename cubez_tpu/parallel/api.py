@@ -42,10 +42,14 @@ def solve_dist(
     """
     g = problem.grid
     kind = solver.lower()
+    line = kind in ("pcr", "pcr_rb", "pcr_eda", "pcr_esa", "pcr_j_esa",
+                    "pcr_rb_esa")
+    if line:
+        kind = "pcr_rb" if kind.startswith("pcr_rb") else "pcr"
     use_fused = (
         impl != "jnp"
         and g.dtype == jnp.float32
-        and kind in ("jacobi", "sor2sma")
+        and kind in ("jacobi", "sor2sma", "pcr", "pcr_rb")
     )
 
     step = None
@@ -55,10 +59,16 @@ def solve_dist(
             interpret=(jax.default_backend() != "tpu"),
         )
     if step is not None:
-        xs = dist_fused.to_block_state(cmesh, problem.x0)
-        bs = dist_fused.to_block_state(cmesh, problem.rhs)
+        if line:
+            to_state = dist_fused.to_line_block_state
+            from_state = dist_fused.from_line_block_state
+        else:
+            to_state = dist_fused.to_block_state
+            from_state = dist_fused.from_block_state
+        xs = to_state(cmesh, problem.x0)
+        bs = to_state(cmesh, problem.rhs)
         result = run_iterative(step, xs, bs, g.res_normal, itr_max, eps)
-        x = dist_fused.from_block_state(cmesh, result.x, g.shape_kij)
+        x = from_state(cmesh, result.x, g.shape_kij)
         import dataclasses
 
         result = dataclasses.replace(result, x=x)

@@ -24,6 +24,11 @@ from jax import lax, shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..core.problem import Problem
+from ..pallas_kernels.dist_pcr import (
+    make_block_pcr,
+    pad_line_block,
+    unpad_line_block,
+)
 from ..pallas_kernels.dist_sweeps import make_block_sweep, pad_block, unpad_block
 from .mesh import AXES, CubeMesh, FIELD_SPEC
 
@@ -92,6 +97,61 @@ def _refresh_ghosts(xp, block_shape):
     return xp
 
 
+def to_line_block_state(cmesh: CubeMesh, arr):
+    """Global (K, I, J) array -> sharded ghosted line-layout block state
+    (for the distributed fused line solvers)."""
+    _block_shape(cmesh, arr.shape)
+    fn = shard_map(
+        pad_line_block, mesh=cmesh.mesh, in_specs=(FIELD_SPEC,),
+        out_specs=FIELD_SPEC,
+    )
+    return fn(cmesh.shard(arr))
+
+
+def from_line_block_state(cmesh: CubeMesh, state, gshape):
+    bs = _block_shape(cmesh, gshape)
+    fn = shard_map(
+        lambda xp: unpad_line_block(xp, bs),
+        mesh=cmesh.mesh,
+        in_specs=(FIELD_SPEC,),
+        out_specs=FIELD_SPEC,
+    )
+    return fn(state)
+
+
+def _refresh_ghosts_line(xp, block_shape):
+    """Ghost refresh for the line layout (li+2, Kp, Jp): I on the leading
+    axis, K on sublanes (ghosts at 1-based rows 0 / lk+1), J on lanes."""
+    lk, li, lj = block_shape
+    spans = [
+        (0, "x", 1, li, 0, li + 1),
+        (1, "z", 1, lk, 0, lk + 1),
+        (2, "y", 1, lj, 0, lj + 1),
+    ]
+    for ax, mesh_ax, lo_dat, hi_dat, lo_gst, hi_gst in spans:
+        n = lax.axis_size(mesh_ax)
+        idx = [slice(None)] * 3
+        idx[ax] = lo_dat
+        lo_face = xp[tuple(idx)]
+        idx[ax] = hi_dat
+        hi_face = xp[tuple(idx)]
+        if n == 1:
+            ghost_hi = jnp.zeros_like(lo_face)
+            ghost_lo = jnp.zeros_like(hi_face)
+        else:
+            ghost_hi = lax.ppermute(
+                lo_face, mesh_ax, [(i, i - 1) for i in range(1, n)]
+            )
+            ghost_lo = lax.ppermute(
+                hi_face, mesh_ax, [(i, i + 1) for i in range(n - 1)]
+            )
+        idx[ax] = lo_gst
+        xp = xp.at[tuple(idx)].set(ghost_lo)
+        idx[ax] = hi_gst
+        xp = xp.at[tuple(idx)].set(ghost_hi)
+    return xp
+
+
 def make_dist_fused_step(
     problem: Problem,
     cmesh: CubeMesh,
@@ -122,13 +182,25 @@ def make_dist_fused_step(
         interpret = jax.default_backend() != "tpu"
 
     kw = dict(omega=omega, b_is_zero=b_is_zero, interpret=interpret)
-    if kind == "sor2sma" and sync == "color":
-        sweeps = [
-            make_block_sweep(kind, bs, gshape, g.dtype, color=c, **kw)
-            for c in (0, 1)
-        ]
+    line = kind in ("pcr", "pcr_rb")
+    if line:
+        refresh = _refresh_ghosts_line
+        if kind == "pcr_rb":
+            sweeps = [
+                make_block_pcr(bs, gshape, g.dtype, color=c, **kw)
+                for c in (0, 1)
+            ]
+        else:
+            sweeps = [make_block_pcr(bs, gshape, g.dtype, **kw)]
     else:
-        sweeps = [make_block_sweep(kind, bs, gshape, g.dtype, **kw)]
+        refresh = _refresh_ghosts
+        if kind == "sor2sma" and sync == "color":
+            sweeps = [
+                make_block_sweep(kind, bs, gshape, g.dtype, color=c, **kw)
+                for c in (0, 1)
+            ]
+        else:
+            sweeps = [make_block_sweep(kind, bs, gshape, g.dtype, **kw)]
     if any(s is None for s in sweeps):
         return None
 
@@ -142,7 +214,7 @@ def make_dist_fused_step(
         ).reshape(1, 3)
         r2 = jnp.zeros((), jnp.float32)
         for sweep in sweeps:
-            xp = _refresh_ghosts(xp, bs)
+            xp = refresh(xp, bs)
             xp, r2c = sweep(xp, bp, offs)
             r2 = r2 + r2c
         return xp, lax.psum(r2, AXES)

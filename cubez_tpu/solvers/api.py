@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from ..core.problem import Problem
 from . import steps as steps_mod
-from .bicgstab import make_bicgstab
 from .driver import EPS_DEFAULT, SolveResult, run_iterative
 
 SOLVERS = steps_mod.ALL_SOLVERS
@@ -64,33 +63,25 @@ def solve(
     g = problem.grid
 
     if kind == "pbicgstab":
-        run = make_bicgstab(
+        from .fused_cache import get_bicgstab
+
+        run = get_bicgstab(
             problem, solver, omega, precond,
-            impl="jnp" if _sharded(problem) else impl,
+            "jnp" if _sharded(problem) else impl,
         )
         result = run(problem.x0, problem.rhs, itr_max, eps, g.res_normal)
     elif _can_fuse(problem, kind, is_maf, impl):
+        from .fused_cache import get_fused_step, pad_unpad
+
         interpret = jax.default_backend() != "tpu"
-        if kind in ("pcr", "pcr_rb"):
-            from ..pallas_kernels import pcr as fused
-
-            step = fused.make_fused_pcr_step(
-                kind, g.shape_kij, g.dtype, omega=omega,
-                mc=problem.mc if is_maf else None, interpret=interpret,
-            )
-            pad = fused.pad_i1
-            unpad = lambda a: fused.unpad_i1(a, g.shape_kij)
-        else:
-            from ..pallas_kernels import sweeps as fused
-
-            step = fused.make_fused_sweep(
-                kind, g.shape_kij, g.dtype, omega=omega,
-                mc=problem.mc if is_maf else None, interpret=interpret,
-            )
-            pad = fused.pad_k2
-            unpad = lambda a: fused.unpad_k2(a, g.shape_kij)
+        step = get_fused_step(
+            kind, g, omega, problem.mc if is_maf else None, interpret
+        )
+        pad, unpad = pad_unpad(kind, g)
         if step is None:  # no viable tiling — fall back
-            step = steps_mod.make_step(problem, solver, omega)
+            from .fused_cache import get_jnp_step
+
+            step = get_jnp_step(problem, solver, omega)
             result = run_iterative(
                 step, problem.x0, problem.rhs, g.res_normal, itr_max, eps
             )
@@ -101,7 +92,9 @@ def solve(
             )
             result = dataclasses.replace(result, x=unpad(result.x))
     else:
-        step = steps_mod.make_step(problem, solver, omega)
+        from .fused_cache import get_jnp_step
+
+        step = get_jnp_step(problem, solver, omega)
         result = run_iterative(
             step, problem.x0, problem.rhs, g.res_normal, itr_max, eps
         )

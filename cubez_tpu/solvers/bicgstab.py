@@ -41,24 +41,12 @@ def _fused_precon(problem: Problem, precond: str, omega: float, impl: str):
         return None
     interpret = not on_tpu
     g = problem.grid
-    if kind in ("jacobi", "sor2sma"):
-        from ..pallas_kernels import sweeps as fk
-
-        step = fk.make_fused_sweep(
-            kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
-        )
-        pad = fk.pad_k2
-        unpad = lambda a: fk.unpad_k2(a, g.shape_kij)
-    elif kind in ("pcr", "pcr_rb"):
-        from ..pallas_kernels import pcr as fk
-
-        step = fk.make_fused_pcr_step(
-            kind, g.shape_kij, g.dtype, omega=omega, interpret=interpret
-        )
-        pad = fk.to_line_layout
-        unpad = lambda a: fk.from_line_layout(a, g.shape_kij)
-    else:
+    if kind not in ("jacobi", "sor2sma", "pcr", "pcr_rb"):
         return None
+    from .fused_cache import get_fused_step, pad_unpad
+
+    step = get_fused_step(kind, g, omega, None, interpret)
+    pad, unpad = pad_unpad(kind, g)
     if step is None:
         return None
 

@@ -1,0 +1,98 @@
+"""Cache of built fused-Pallas steps.
+
+Steps are Python closures; ``jax.jit`` keys its trace cache on the closure's
+identity, so rebuilding a step per solve() call forced a full re-trace and
+(on TPU) a multi-second recompile every time.  This cache returns the same
+step object for the same parameters, making repeated solves reuse the
+compiled executable (observed: 2.4 s -> 0.09 s for a 128^3 sor2sma solve).
+
+MAF steps embed the metric tables; they are cached per MafCoeffs *object*
+(a strong reference is kept so the id key stays valid).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+_CACHE: dict = {}
+
+
+def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool):
+    """Build-or-fetch the fused step for (kind, grid, omega, mc, interpret).
+
+    Returns None when no viable tiling exists (negative results are cached
+    too).  The returned step operates on the kind's padded state layout.
+    """
+    key = (
+        kind,
+        grid.shape_kij,
+        str(grid.dtype),
+        float(omega),
+        bool(interpret),
+        None if mc is None else id(mc),
+    )
+    ent = _CACHE.get(key)
+    if ent is not None and (mc is None or ent[0] is mc):
+        return ent[1]
+
+    if kind in ("pcr", "pcr_rb"):
+        from ..pallas_kernels import pcr as fk
+
+        step = fk.make_fused_pcr_step(
+            kind, grid.shape_kij, grid.dtype, omega=omega, mc=mc,
+            interpret=interpret,
+        )
+    else:
+        from ..pallas_kernels import sweeps as fk
+
+        step = fk.make_fused_sweep(
+            kind, grid.shape_kij, grid.dtype, omega=omega, mc=mc,
+            interpret=interpret,
+        )
+    _CACHE[key] = (mc, step)
+    return step
+
+
+_BICG_CACHE: dict = {}
+
+
+def get_bicgstab(problem, solver: str, omega: float, precond, impl: str):
+    """Build-or-fetch the jitted BiCGSTAB runner for this problem object
+    (keyed by object identity; a strong reference keeps the key valid)."""
+    from .bicgstab import make_bicgstab
+
+    key = (id(problem), solver, float(omega), precond, impl)
+    ent = _BICG_CACHE.get(key)
+    if ent is not None and ent[0] is problem:
+        return ent[1]
+    run = make_bicgstab(problem, solver, omega, precond, impl=impl)
+    _BICG_CACHE[key] = (problem, run)
+    return run
+
+
+_JNP_CACHE: dict = {}
+
+
+def get_jnp_step(problem, solver: str, omega: float):
+    """Build-or-fetch the jnp (XLA) step for this problem object — same
+    identity-keyed caching so run_iterative's jit reuses the executable."""
+    from .steps import make_step
+
+    key = (id(problem), solver, float(omega))
+    ent = _JNP_CACHE.get(key)
+    if ent is not None and ent[0] is problem:
+        return ent[1]
+    step = make_step(problem, solver, omega)
+    _JNP_CACHE[key] = (problem, step)
+    return step
+
+
+def pad_unpad(kind: str, grid):
+    """(pad, unpad) converters for the kind's state layout."""
+    if kind in ("pcr", "pcr_rb"):
+        from ..pallas_kernels import pcr as fk
+
+        return fk.to_line_layout, lambda a: fk.from_line_layout(a, grid.shape_kij)
+    from ..pallas_kernels import sweeps as fk
+
+    return fk.pad_k2, lambda a: fk.unpad_k2(a, grid.shape_kij)

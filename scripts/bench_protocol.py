@@ -35,8 +35,9 @@ CONFIGS = [
 def run_one(label, n, solver, omega, precond, itr_max):
     maf = solver.endswith("_maf")
     prob = Problem.poisson_cube(n, dtype=jnp.float32, maf=maf)
-    # warm-up (compile) with a tiny iteration budget on the same shapes
-    solve(prob, solver, omega=omega, itr_max=2, precond=precond)
+    # warm-up compiles the exact executable: same static itr_max, but a
+    # trivially-satisfied eps stops it after one iteration
+    solve(prob, solver, omega=omega, itr_max=itr_max, precond=precond, eps=1e9)
     t0 = time.perf_counter()
     r = solve(prob, solver, omega=omega, itr_max=itr_max, precond=precond)
     jax.block_until_ready(r.x)

@@ -185,3 +185,41 @@ def test_solve_dist_api():
 
     rs = solve(prob, "sor2sma", omega=1.5, itr_max=2000, impl="jnp")
     assert r.iters == rs.iters
+
+
+@pytest.mark.parametrize("kind,om", [("pcr", 1.0), ("pcr_rb", 1.5)])
+@pytest.mark.parametrize("div", [(2, 2, 2), (2, 4, 1)])
+def test_dist_fused_pcr_matches_jnp_dist(kind, om, div):
+    """Fused block line-PCR == the jnp dist line_solve (identity-ghost
+    formulation) on every mesh shape, including split K."""
+    from cubez_tpu.parallel.dist import make_dist_step
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    ndev = div[0] * div[1] * div[2]
+    cm = make_mesh((n, n, n), devices=cpu8()[:ndev], div=div)
+    fstep = dist_fused.make_dist_fused_step(prob, cm, kind, om)
+    assert fstep is not None
+    jstep = make_dist_step(prob, cm, kind, om)
+    xs = dist_fused.to_line_block_state(cm, prob.x0)
+    bs = dist_fused.to_line_block_state(cm, prob.rhs)
+    xj = cm.shard(prob.x0)
+    bj = cm.shard(prob.rhs)
+    for _ in range(4):
+        xs, r2f = fstep(xs, bs)
+        xj, r2j = jstep(xj, bj)
+    back = dist_fused.from_line_block_state(cm, xs, prob.grid.shape_kij)
+    assert float(jnp.max(jnp.abs(back - xj))) < 2e-6
+    np.testing.assert_allclose(float(r2f), float(r2j), rtol=1e-4, atol=1e-6)
+
+
+def test_solve_dist_pcr_rb():
+    from cubez_tpu import max_error
+    from cubez_tpu.parallel.api import solve_dist
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    r = solve_dist(prob, cm, "pcr_rb", omega=1.5, itr_max=2000)
+    assert r.res < 1e-5
+    assert max_error(prob.grid, r.x) < 5e-3
