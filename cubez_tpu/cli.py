@@ -40,6 +40,11 @@ def build_argparser():
         "--dump", metavar="FILE.sph", default=None,
         help="dump the final field in SPH format (fileout_t equivalent)",
     )
+    ap.add_argument(
+        "--warmup", action="store_true",
+        help="compile the exact solve executable first so the reported wall "
+        "time excludes compilation",
+    )
     return ap
 
 
@@ -85,6 +90,13 @@ def main(argv=None):
     print(f"Iterative Method = {args.solver}")
     if kind == "pbicgstab":
         print(f"Preconditioner = {precond}")
+
+    if args.warmup and cm is None:
+        # same static config, trivially-satisfied eps -> one iteration
+        solve(
+            prob, args.solver, omega=args.coef, itr_max=args.itr_max,
+            eps=1e9, precond=precond, impl=args.impl,
+        )
 
     t0 = time.perf_counter()
     if cm is not None and kind != "pbicgstab":
