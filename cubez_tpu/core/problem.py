@@ -24,6 +24,9 @@ class Problem:
     msk: jnp.ndarray
     mc: Optional[MafCoeffs] = None
     pvt: Optional[jnp.ndarray] = None
+    # True when rhs == 0 on every inner node (the reference Laplace problem):
+    # lets the fused sweeps skip streaming b entirely (one less HBM pass)
+    rhs_inner_zero: bool = False
 
     @classmethod
     def poisson_cube(cls, n, dtype=jnp.float32, maf: bool = False) -> "Problem":
@@ -44,4 +47,5 @@ class Problem:
             msk=grid.inner_mask,
             mc=mc,
             pvt=pvt,
+            rhs_inner_zero=True,
         )

@@ -199,7 +199,6 @@ def _pcr_kernel(
         in_dma(0, 0).start()
         if not b_is_zero:
             b_dma(0, 0).start()
-        r2_ref[0, 0] = jnp.zeros((), jnp.float32)
 
     @pl.when(t + 1 < T)
     def _():
@@ -289,7 +288,9 @@ def _pcr_kernel(
     out_dma(slot, t).start()
 
     dpf = dp.astype(jnp.float32)
-    r2_ref[0, 0] += jnp.sum(dpf * dpf)
+    # per-tile partial (own SMEM row per grid step); caller tree-sums in
+    # f64 under x64 — matches the reference's double accumulators in effect
+    r2_ref[t, 0] = jnp.sum(dpf * dpf)
 
     @pl.when(t == T - 1)
     def _():
@@ -423,11 +424,11 @@ def make_fused_pcr(
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((I + 2, Kp, Jp), dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, it + 2, Kp, Jp), dtype),
@@ -449,7 +450,8 @@ def make_fused_pcr(
 
     def pass_(xp, bp):
         out, r2 = call(xp, bp, tables, tabi, tabj, tabk)
-        return out, r2[0, 0]
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return out, jnp.sum(r2.astype(acc))
 
     pass_.it = it
     return pass_

@@ -210,7 +210,6 @@ def _sweep_kernel(
             b_dma(0, 0).start()
         if maf:
             tk_dma(0, 0).start()
-        r2_ref[0, 0] = jnp.zeros((), jnp.float32)
 
     @pl.when(t + 1 < T)
     def _():
@@ -265,7 +264,11 @@ def _sweep_kernel(
 
     outs[slot] = x1
     out_dma(slot, t).start()
-    r2_ref[0, 0] += r2
+    # per-tile partial sum: each grid step owns its own SMEM row, so no
+    # sequential accumulation order; the caller tree-sums the partials (in
+    # f64 under x64), matching the reference's double accumulators
+    # (cz_solver.f90:214-215) in effect.
+    r2_ref[t, 0] = r2
 
     # final step drains both outstanding writes
     @pl.when(t == T - 1)
@@ -379,11 +382,11 @@ def make_fused_sweep(
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((K + 4, Ip, Jp), dtype),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, kt + x_halo, Ip, Jp), dtype),
@@ -406,7 +409,8 @@ def make_fused_sweep(
 
     def step(xp, bp):
         out, r2 = call(xp, bp, tij, tkp)
-        return out, r2[0, 0]
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return out, jnp.sum(r2.astype(acc))
 
     step.kt = kt  # for introspection/benchmarks
     return step

@@ -34,21 +34,28 @@ def solve_dist(
     history_path: Optional[str] = None,
     impl: str = "auto",
     sync: str = "color",
+    check_every: Optional[int] = None,
 ) -> SolveResult:
     """Run a relaxation/line solver distributed over the mesh.
 
     The returned SolveResult.x is the assembled global (K, I, J) field.
     ``sync`` selects the red-black halo cadence (see dist_fused).
+
+    Every solver name runs (the reference runs all of them multi-rank,
+    cz_Poisson.cpp); the step implementation degrades gracefully:
+    fused per-block Pallas kernels > explicit shard_map jnp steps >
+    auto-SPMD (the serial jnp step on sharded arrays — XLA inserts the
+    halo collectives and all-reduces itself).
     """
+    from ..solvers.steps import parse_name
+
     g = problem.grid
-    kind = solver.lower()
-    line = kind in ("pcr", "pcr_rb", "pcr_eda", "pcr_esa", "pcr_j_esa",
-                    "pcr_rb_esa")
-    if line:
-        kind = "pcr_rb" if kind.startswith("pcr_rb") else "pcr"
+    kind, is_maf = parse_name(solver)
+    line = kind in ("pcr", "pcr_rb")
     use_fused = (
         impl != "jnp"
         and g.dtype == jnp.float32
+        and not is_maf
         and kind in ("jacobi", "sor2sma", "pcr", "pcr_rb")
     )
 
@@ -56,6 +63,7 @@ def solve_dist(
     if use_fused:
         step = dist_fused.make_dist_fused_step(
             problem, cmesh, kind, omega, sync=sync,
+            b_is_zero=problem.rhs_inner_zero,
             interpret=(jax.default_backend() != "tpu"),
         )
     if step is not None:
@@ -67,21 +75,47 @@ def solve_dist(
             from_state = dist_fused.from_block_state
         xs = to_state(cmesh, problem.x0)
         bs = to_state(cmesh, problem.rhs)
-        result = run_iterative(step, xs, bs, g.res_normal, itr_max, eps)
+        result = run_iterative(
+            step, xs, bs, g.res_normal, itr_max, eps, check_every=check_every
+        )
         x = from_state(cmesh, result.x, g.shape_kij)
         import dataclasses
 
         result = dataclasses.replace(result, x=x)
     else:
-        step = make_dist_step(problem, cmesh, solver, omega)
-        result = run_iterative(
-            step,
-            cmesh.shard(problem.x0),
-            cmesh.shard(problem.rhs),
-            g.res_normal,
-            itr_max,
-            eps,
-        )
+        try:
+            step = make_dist_step(problem, cmesh, solver, omega)
+        except (ValueError, NotImplementedError):
+            step = None
+        if step is not None:
+            result = run_iterative(
+                step,
+                cmesh.shard(problem.x0),
+                cmesh.shard(problem.rhs),
+                g.res_normal,
+                itr_max,
+                eps,
+                check_every=check_every,
+            )
+        else:
+            # auto-SPMD fallback: the serial steps are pure jnp, so jit on
+            # sharded arrays lets XLA insert the collectives (GSPMD) —
+            # serial-exact semantics on any mesh
+            import dataclasses
+
+            from ..solvers.steps import make_step
+
+            prob_sh = dataclasses.replace(
+                problem,
+                x0=cmesh.shard(problem.x0),
+                rhs=cmesh.shard(problem.rhs),
+                msk=cmesh.shard(problem.msk),
+            )
+            sstep = make_step(prob_sh, solver, omega)
+            result = run_iterative(
+                sstep, prob_sh.x0, prob_sh.rhs, g.res_normal, itr_max, eps,
+                check_every=check_every,
+            )
 
     if history_path:
         result.write_history(history_path)

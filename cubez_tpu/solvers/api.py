@@ -56,9 +56,12 @@ def solve(
     precond: Optional[str] = None,
     history_path: Optional[str] = None,
     impl: str = "auto",
+    check_every: Optional[int] = None,
 ) -> SolveResult:
     """``impl``: 'auto' (fused Pallas kernels on TPU, XLA elsewhere),
-    'pallas' (force fused kernels; interpreted off-TPU), 'jnp' (force XLA)."""
+    'pallas' (force fused kernels; interpreted off-TPU), 'jnp' (force XLA).
+    ``check_every``: convergence-check granularity (None = auto; see
+    driver.run_iterative — counts/histories are granularity-independent)."""
     kind, is_maf = steps_mod.parse_name(solver)
     g = problem.grid
 
@@ -75,7 +78,8 @@ def solve(
 
         interpret = jax.default_backend() != "tpu"
         step = get_fused_step(
-            kind, g, omega, problem.mc if is_maf else None, interpret
+            kind, g, omega, problem.mc if is_maf else None, interpret,
+            b_is_zero=problem.rhs_inner_zero,
         )
         pad, unpad = pad_unpad(kind, g)
         if step is None:  # no viable tiling — fall back
@@ -83,12 +87,13 @@ def solve(
 
             step = get_jnp_step(problem, solver, omega)
             result = run_iterative(
-                step, problem.x0, problem.rhs, g.res_normal, itr_max, eps
+                step, problem.x0, problem.rhs, g.res_normal, itr_max, eps,
+                check_every=check_every,
             )
         else:
             result = run_iterative(
                 step, pad(problem.x0), pad(problem.rhs), g.res_normal,
-                itr_max, eps,
+                itr_max, eps, check_every=check_every,
             )
             result = dataclasses.replace(result, x=unpad(result.x))
     else:
@@ -96,7 +101,8 @@ def solve(
 
         step = get_jnp_step(problem, solver, omega)
         result = run_iterative(
-            step, problem.x0, problem.rhs, g.res_normal, itr_max, eps
+            step, problem.x0, problem.rhs, g.res_normal, itr_max, eps,
+            check_every=check_every,
         )
 
     if history_path:

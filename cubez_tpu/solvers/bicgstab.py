@@ -113,25 +113,37 @@ def make_bicgstab(
             rho = dot2(r, r0)
             breakdown = jnp.abs(rho) < FLT_MIN
 
-            beta = rho / rho_old * alpha / omega
-            p = jnp.where(itr == 0, r, blas.bicg_1(p, r, q, beta, omega, msk))
+            def advance(op):
+                x, r, p, q, itr, res, alpha, omega, hist = op
+                beta = rho / rho_old * alpha / omega
+                p = jnp.where(
+                    itr == 0, r, blas.bicg_1(p, r, q, beta, omega, msk)
+                )
+                p_ = precon(p)
+                q = ax(p_)
+                den_q = dot2(q, r0)
+                alpha = rho / jnp.where(jnp.abs(den_q) < FLT_MIN, 1.0, den_q)
+                s = blas.triad(q, r, -alpha, msk)
+                s_ = precon(s)
+                t_ = ax(s_)
+                den_t = dot1(t_)
+                omega = dot2(t_, s) / jnp.where(den_t < FLT_MIN, 1.0, den_t)
+                x = blas.bicg_2(x, p_, s_, alpha, omega, msk)
+                r = blas.triad(t_, s, -omega, msk)
 
-            p_ = precon(p)
-            q = ax(p_)
-            den_q = dot2(q, r0)
-            alpha = rho / jnp.where(jnp.abs(den_q) < FLT_MIN, 1.0, den_q)
-            s = blas.triad(q, r, -alpha, msk)
-            s_ = precon(s)
-            t_ = ax(s_)
-            den_t = dot1(t_)
-            omega = dot2(t_, s) / jnp.where(den_t < FLT_MIN, 1.0, den_t)
-            x = blas.bicg_2(x, p_, s_, alpha, omega, msk)
-            r = blas.triad(t_, s, -omega, msk)
+                res2 = dot1(r)
+                res = jnp.sqrt(res2.astype(rdt) * jnp.asarray(res_normal, rdt))
+                hist = jax.lax.dynamic_update_index_in_dim(hist, res, itr, 0)
+                return (x, r, p, q, itr + 1, res, alpha, omega, hist)
 
-            res2 = dot1(r)
-            res = jnp.sqrt(res2.astype(rdt) * jnp.asarray(res_normal, rdt))
-            hist = jax.lax.dynamic_update_index_in_dim(hist, res, itr, 0)
-            return (x, r, p, q, itr + 1, res, rho, alpha, omega, hist, breakdown)
+            # |rho| < FLT_MIN breaks BEFORE the iteration touches any state
+            # (cz_Poisson.cpp:379-383: itr = 0; break) — the whole update is
+            # inside the cond so x is provably untouched on breakdown.
+            op = (x, r, p, q, itr, res, alpha, omega, hist)
+            x, r, p, q, itr, res, alpha, omega, hist = jax.lax.cond(
+                breakdown, lambda op: op, advance, op
+            )
+            return (x, r, p, q, itr, res, rho, alpha, omega, hist, breakdown)
 
         one = jnp.ones((), dt)
         st0 = (
@@ -157,9 +169,11 @@ def make_bicgstab(
         x, itr, res, hist, stop = run(
             x0, b, max(int(itr_max) - 1, 1), float(eps), float(res_normal)
         )
-        iters = int(itr)
+        done = int(itr)  # iterations that completed (wrote a history row)
+        # rho breakdown reports itr = 0 like the reference (cz_Poisson.cpp:381)
+        iters = 0 if bool(stop) else done
         return SolveResult(
-            x=x, iters=iters, res=float(res), history=np.asarray(hist)[:iters]
+            x=x, iters=iters, res=float(res), history=np.asarray(hist)[:done]
         )
 
     return solve

@@ -17,11 +17,15 @@ from typing import Optional
 _CACHE: dict = {}
 
 
-def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool):
-    """Build-or-fetch the fused step for (kind, grid, omega, mc, interpret).
+def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
+                   b_is_zero: bool = False):
+    """Build-or-fetch the fused step for (kind, grid, omega, mc, interpret,
+    b_is_zero).
 
     Returns None when no viable tiling exists (negative results are cached
     too).  The returned step operates on the kind's padded state layout.
+    ``b_is_zero`` skips streaming the RHS (valid when b == 0 on all inner
+    nodes); the step still accepts (xp, bp) and ignores bp.
     """
     key = (
         kind,
@@ -29,6 +33,7 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool):
         str(grid.dtype),
         float(omega),
         bool(interpret),
+        bool(b_is_zero),
         None if mc is None else id(mc),
     )
     ent = _CACHE.get(key)
@@ -40,14 +45,14 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool):
 
         step = fk.make_fused_pcr_step(
             kind, grid.shape_kij, grid.dtype, omega=omega, mc=mc,
-            interpret=interpret,
+            b_is_zero=b_is_zero, interpret=interpret,
         )
     else:
         from ..pallas_kernels import sweeps as fk
 
         step = fk.make_fused_sweep(
             kind, grid.shape_kij, grid.dtype, omega=omega, mc=mc,
-            interpret=interpret,
+            b_is_zero=b_is_zero, interpret=interpret,
         )
     _CACHE[key] = (mc, step)
     return step

@@ -8,10 +8,11 @@ reuses the same steps with a different ``b`` (cz_Poisson.cpp:273-322).
 Solver-name parity with the reference CLI (cz_Evaluate.cpp:684-803):
   jacobi, psor, sor2sma, pcr, pcr_eda, pcr_esa, pcr_rb, pcr_rb_esa,
   pcr_j_esa, pbicgstab (+ ``_maf`` for each except pcr_j_esa).
-On TPU the eda/esa/j variants of PCR are memory-layout/race-avoidance
-variants of the same math (identical histories per doc/Memo.md:134) and all
-resolve to the single fused PCR step; pcr_rb[_esa] resolve to the red-black
-PCR step.
+pcr / pcr_eda / pcr_esa are the same serial line-Gauss-Seidel math in three
+memory layouts (identical histories per doc/Memo.md:134) and resolve to one
+wavefront-exact step; pcr_j_esa is the Jacobi-update form and resolves to
+the fused line-Jacobi step; pcr_rb[_esa] resolve to the fused red-black
+step.  See _CANON below for the evidence.
 """
 
 from __future__ import annotations
@@ -25,14 +26,26 @@ from ..ops import maf as maf_ops
 from ..ops import pcr as pcr_ops
 from ..ops import stencil
 
-# canonical kind per CLI solver name
+# canonical kind per CLI solver name.
+#
+# The reference's pcr / pcr_eda / pcr_esa relax each line IN PLACE inside the
+# lexicographic (j,i) loop (cz_solver.f90:848-856), so their serial (= only
+# deterministic) semantics is line-GAUSS-SEIDEL — stable at the documented
+# omega=1.5 (Readme.md:390).  Only pcr_j_esa is the Jacobi-update form
+# (source snapshot into src, result into wrk; cz_solver.f90:1521-1531), and
+# line-Jacobi requires omega <~ 1.0 (verified with the serial oracle,
+# tools/ref_oracle.cpp: diverges at 1.1).  Kinds:
+#   pcr_gs — wavefront line-Gauss-Seidel, exactly the serial reference pcr
+#   pcr    — line-Jacobi full-plane pass (reference pcr_j_esa), fused-fast
+#   pcr_rb — red-black line relaxation (deterministic AND fast; same
+#            iteration counts as pcr_gs: 142 vs 140 at 32^3 omega=1.5)
 _CANON = {
     "jacobi": "jacobi",
     "psor": "psor",
     "sor2sma": "sor2sma",
-    "pcr": "pcr",
-    "pcr_eda": "pcr",
-    "pcr_esa": "pcr",
+    "pcr": "pcr_gs",
+    "pcr_eda": "pcr_gs",
+    "pcr_esa": "pcr_gs",
     "pcr_j_esa": "pcr",
     "pcr_rb": "pcr_rb",
     "pcr_rb_esa": "pcr_rb",
@@ -152,6 +165,56 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0)
             return x.at[kst : ked + 1].add(dp), jnp.sum(dp * dp)
 
         return pcr_step
+
+    if kind == "pcr_gs":
+        # Exact line-Gauss-Seidel via diagonal wavefront: lexicographic
+        # line-GS at line (i,j) reads updated (i-1,j),(i,j-1) — both on
+        # diagonal i+j-1 — and old (i+1,j),(i,j+1) on diagonal i+j+1, so
+        # sweeping diagonals d = i+j in order reproduces the serial
+        # reference pcr (cz_solver.f90:848-856) exactly.  Cost is
+        # O(ni+nj) full-plane line solves per iteration — parity/oracle
+        # use only; production line solvers are pcr_rb / pcr_j_esa.
+        import jax
+
+        ii = jnp.arange(g.ni, dtype=jnp.int32).reshape(1, g.ni, 1)
+        jj = jnp.arange(g.nj, dtype=jnp.int32).reshape(1, 1, g.nj)
+        dsum = ii + jj
+        d_lo, d_hi = 2, (g.ni - 2) + (g.nj - 2)  # inner i, j start at 1
+        pn = pcr_ops.num_stage(n)
+        if is_maf:
+            def pcr_gs_maf_step(x, b):
+                def body(dg, carry):
+                    xx, r2 = carry
+                    dm = (dsum == dg).astype(dtype)
+                    a, c, d = pcr_ops.build_line_system_maf(
+                        xx, b, msk, mc, kst, ked
+                    )
+                    sol = pcr_ops.pcr_reduce_var(a, c, d, pn)
+                    dp = (sol - xx[kst : ked + 1]) * om * msk_in * dm
+                    return xx.at[kst : ked + 1].add(dp), r2 + jnp.sum(dp * dp)
+
+                return jax.lax.fori_loop(
+                    d_lo, d_hi + 1, body, (x, jnp.zeros((), dtype))
+                )
+
+            return pcr_gs_maf_step
+
+        plan = pcr_ops.build_pcr_plan(n, dtype)
+
+        def pcr_gs_step(x, b):
+            def body(dg, carry):
+                xx, r2 = carry
+                dm = (dsum == dg).astype(dtype)
+                d = pcr_ops.build_line_rhs(xx, b, msk, kst, ked)
+                sol = pcr_ops.pcr_reduce_const(d, plan)
+                dp = (sol - xx[kst : ked + 1]) * om * msk_in * dm
+                return xx.at[kst : ked + 1].add(dp), r2 + jnp.sum(dp * dp)
+
+            return jax.lax.fori_loop(
+                d_lo, d_hi + 1, body, (x, jnp.zeros((), dtype))
+            )
+
+        return pcr_gs_step
 
     if kind == "pcr_rb":
         lmasks = pcr_ops.line_color_masks(g.ni, g.nj, color_offset, dtype)

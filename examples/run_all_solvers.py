@@ -23,12 +23,13 @@ from cubez_tpu import Problem, max_error, solve
 
 N = 64
 ITMAX = 20000
-# documented omegas (Readme.md:386-391, main.cpp:24-27); full-plane line
-# solvers are line-Jacobi and need omega ~1 (see .claude verify notes)
+# documented omegas (Readme.md:386-391, main.cpp:24-27); pcr is the serial
+# reference's line-Gauss-Seidel (stable at 1.5, wavefront-exact but slow);
+# pcr_j_esa is the Jacobi-update form and needs omega ~1
 CONFIGS = [
     ("jacobi", 0.8, None),
     ("sor2sma", 1.5, None),
-    ("pcr", 1.0, None),
+    ("pcr", 1.5, None),
     ("pcr_rb", 1.5, None),
     ("pcr_j_esa", 1.0, None),
     ("pbicgstab", 1.1, "sor2sma"),

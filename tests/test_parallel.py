@@ -73,8 +73,8 @@ def test_dist_pcr_unsplit_k_matches_serial():
     n = 32
     prob = Problem.poisson_cube(n, dtype=jnp.float32)
     cm = make_mesh((n, n, n), devices=cpu8(), div=(1, 2, 4))
-    serial_step = steps_mod.make_step(prob, "pcr", 1.0)
-    dist_step = make_dist_step(prob, cm, "pcr", 1.0)
+    serial_step = steps_mod.make_step(prob, "pcr_j_esa", 1.0)
+    dist_step = make_dist_step(prob, cm, "pcr_j_esa", 1.0)
     x_s, x_d, b_d = prob.x0, cm.shard(prob.x0), cm.shard(prob.rhs)
     for _ in range(3):
         x_s, r_s = serial_step(x_s, prob.rhs)

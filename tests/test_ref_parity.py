@@ -1,0 +1,82 @@
+"""Parity against reference-semantics histories (tests/ref_histories/).
+
+The reference's verification currency is residual histories per solver
+(cz_Evaluate.cpp:210-218, doc/Memo.md:134 compares variants purely by
+history).  These tests compare the framework's histories against serial
+reference-semantics runs produced by tools/ref_oracle.cpp (see
+tests/ref_histories/README.md for why the oracle stands in for the
+unbuildable Fortran reference binary).
+"""
+
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cubez_tpu import Problem, solve
+
+HIST = pathlib.Path(__file__).parent / "ref_histories"
+
+
+def load(name):
+    rows = (HIST / name).read_text().splitlines()[1:]
+    return np.array([float(ln.split(",")[1]) for ln in rows])
+
+
+CASES = [
+    # solver, omega, history file (32^3 fast tier)
+    ("jacobi", 0.8, "jacobi_32_w0.8.txt"),
+    ("psor", 1.1, "psor_32_w1.1.txt"),
+    ("sor2sma", 1.5, "sor2sma_32_w1.5.txt"),
+    ("pcr", 1.5, "pcr_32_w1.5.txt"),
+    ("pcr_rb", 1.5, "pcr_rb_32_w1.5.txt"),
+    ("pcr_j_esa", 1.0, "pcr_j_esa_32_w1.0.txt"),
+]
+
+
+@pytest.mark.parametrize("name,omega,fname", CASES)
+def test_f64_history_parity(name, omega, fname):
+    """f64 framework histories must track the f64 serial reference run:
+    identical iteration counts (+-1%) and residual curves to fp tolerance."""
+    ref = load("f64_" + fname)
+    prob = Problem.poisson_cube(32, dtype=jnp.float64)
+    r = solve(prob, name, omega=omega, itr_max=40000, eps=1e-5, impl="jnp")
+    assert abs(r.iters - len(ref)) <= max(1, len(ref) // 100), (
+        f"{name}: {r.iters} vs reference {len(ref)} iterations"
+    )
+    m = min(r.iters, len(ref))
+    np.testing.assert_allclose(r.history[:m], ref[:m], rtol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "name,omega,fname",
+    [c for c in CASES if c[0] in ("jacobi", "sor2sma", "pcr_rb")],
+)
+def test_f32_iteration_parity(name, omega, fname):
+    """f32 (the reference's default REAL_TYPE) iteration counts match the
+    f32 serial reference run; curves agree to f32 roundoff over the bulk."""
+    ref = load("f32_" + fname)
+    prob = Problem.poisson_cube(32, dtype=jnp.float32)
+    r = solve(prob, name, omega=omega, itr_max=40000, eps=1e-5, impl="jnp")
+    assert abs(r.iters - len(ref)) <= max(1, len(ref) // 50)
+    m = min(r.iters, len(ref)) - 1  # last entry straddles the threshold
+    np.testing.assert_allclose(r.history[:m], ref[:m], rtol=1e-3)
+
+
+def test_pbicgstab_history_parity_f64():
+    ref = load("f64_pbicgstab_sor2sma_32_w1.1.txt")
+    prob = Problem.poisson_cube(32, dtype=jnp.float64)
+    r = solve(prob, "pbicgstab", omega=1.1, itr_max=4000, eps=1e-5,
+              precond="sor2sma", impl="jnp")
+    assert abs(r.iters - len(ref)) <= 1
+    m = min(r.iters, len(ref)) - 1
+    np.testing.assert_allclose(r.history[:m], ref[:m], rtol=1e-4)
+
+
+def test_reference_128_iteration_count_checked_in():
+    """The checked-in 128^3 sor2sma reference history (the documented
+    headline config) must show the iteration count the framework reproduces
+    on TPU (1813; BENCH_RESULTS.md)."""
+    assert len(load("f32_sor2sma_128_w1.5.txt")) == 1813
+    assert len(load("f64_sor2sma_128_w1.5.txt")) == 1813
