@@ -31,7 +31,7 @@ import jax.numpy as jnp
 N = 128
 OMEGA = 1.5
 ITERS_SHORT, ITERS_LONG = 100, 600
-REPS = 3
+REPS = 5
 
 
 def main():
@@ -82,12 +82,13 @@ def main():
             lambda x, b, n=iters: jnp.sum(fixed_sweeps(step, x, b, n)[::7, ::5])
         )
         _ = float(run(starts[-1], b0))  # compile + warm
-        best = float("inf")
+        ts = []
         for i in range(REPS):
             t0 = time.perf_counter()
             _ = float(run(starts[i], b0))  # digest fetch forces completion
-            best = min(best, time.perf_counter() - t0)
-        return best
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]  # median-of-REPS
 
     per_iter = (timed(ITERS_LONG) - timed(ITERS_SHORT)) / (ITERS_LONG - ITERS_SHORT)
     cups = prob.grid.num_inner / per_iter

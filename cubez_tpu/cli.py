@@ -134,19 +134,18 @@ def main(argv=None):
     print(f"wall = {dt:.3f} s   {cells / dt / 1e6:.1f} Mcell-updates/s")
 
     if args.profile:
-        from .perf.pmlib import PerfMonitor, device_hbm_gbps
-        from .perf.roofline import sweep_cost
+        # measured per-phase sections (sweep / halo / allreduce / driver)
+        # with analytic flops+bytes — the PMlib report with real timings
+        from .perf.pmlib import CALC
+        from .perf.profile import profile_solve
 
-        pm = PerfMonitor(hbm_gbps=device_hbm_gbps())
-        flops, bts = sweep_cost(
-            kind if kind != "pbicgstab" else "calc_ax",
-            prob.grid.shape_kij,
-            jnp.dtype(dtype).itemsize,
+        pm = profile_solve(
+            prob, args.solver if kind != "pbicgstab" else "sor2sma",
+            omega=args.coef, iters=min(50, max(res.iters, 1)), cmesh=cm,
+            impl=args.impl,
         )
-        pm.add(
-            f"{args.solver}_sweep", dt, flops=flops * res.iters,
-            bytes=bts * res.iters, calls=res.iters,
-        )
+        pm.add("solve_total", dt, kind=CALC, calls=res.iters)
+        pm.sections["solve_total"].exclusive = False
         pm.write("profiling.txt")
         print("profiling.txt written")
 

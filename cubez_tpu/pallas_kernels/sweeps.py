@@ -183,9 +183,20 @@ def _sweep_kernel(
     b_off = 1 if kind == "sor2sma" else 2
     b_rows = kt + 2 if kind == "sor2sma" else kt
 
-    def in_dma(s, idx):
+    def in_full_dma(s, idx):
+        # full slab (first tile only)
         return pltpu.make_async_copy(
             xp_ref.at[pl.ds(idx * kt + x_off, kt + x_halo)], xs.at[s], in_sems.at[s]
+        )
+
+    def in_dma(s, idx):
+        # fresh rows only: the leading x_halo rows are carried over in VMEM
+        # from the previous tile's slab tail (they are the same global rows),
+        # cutting the (kt+halo)/kt HBM re-read of overlapping slabs
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * kt + x_off + x_halo, kt)],
+            xs.at[s, pl.ds(x_halo, kt)],
+            in_sems.at[s],
         )
 
     def b_dma(s, idx):
@@ -205,21 +216,49 @@ def _sweep_kernel(
 
     @pl.when(t == 0)
     def _():
-        in_dma(0, 0).start()
+        in_full_dma(0, 0).start()
         if not b_is_zero:
             b_dma(0, 0).start()
         if maf:
             tk_dma(0, 0).start()
 
-    @pl.when(t + 1 < T)
+    @pl.when((t + 1 < T) & (t > 0))
     def _():
-        in_dma(nslot, t + 1).start()
         if not b_is_zero:
             b_dma(nslot, t + 1).start()
         if maf:
             tk_dma(nslot, t + 1).start()
 
-    in_dma(slot, t).wait()
+    @pl.when(t == 0)
+    def _():
+        in_full_dma(0, 0).wait()
+
+    @pl.when(t > 0)
+    def _():
+        in_dma(slot, t).wait()
+
+    # carry the slab head from the previous tile's tail (same global rows),
+    # then start the next tile's fresh-row DMA into that buffer.  Static
+    # per-slot branches (mixed dynamic+static-index stores don't lower).
+    @pl.when((t > 0) & (slot == 0))
+    def _():
+        xs[0, 0:x_halo] = xs[1, kt : kt + x_halo]
+
+    @pl.when((t > 0) & (slot == 1))
+    def _():
+        xs[1, 0:x_halo] = xs[0, kt : kt + x_halo]
+
+    @pl.when(t + 1 < T)
+    def _():
+        in_dma(nslot, t + 1).start()
+
+    @pl.when((t == 0) & (1 < T))
+    def _():
+        if not b_is_zero:
+            b_dma(nslot, 1).start()
+        if maf:
+            tk_dma(nslot, 1).start()
+
     if not b_is_zero:
         b_dma(slot, t).wait()
     if maf:

@@ -59,8 +59,9 @@ def solve_dist(
         and kind in ("jacobi", "sor2sma", "pcr", "pcr_rb")
     )
 
+    overlap = sync == "overlap"
     step = None
-    if use_fused:
+    if use_fused and not overlap:
         step = dist_fused.make_dist_fused_step(
             problem, cmesh, kind, omega, sync=sync,
             b_is_zero=problem.rhs_inner_zero,
@@ -84,7 +85,8 @@ def solve_dist(
         result = dataclasses.replace(result, x=x)
     else:
         try:
-            step = make_dist_step(problem, cmesh, solver, omega)
+            step = make_dist_step(problem, cmesh, solver, omega,
+                                  overlap=overlap)
         except (ValueError, NotImplementedError):
             step = None
         if step is not None:

@@ -62,10 +62,40 @@ def _interior(a):
     return a[1:-1, 1:-1, 1:-1]
 
 
-def make_dist_step(problem: Problem, cmesh: CubeMesh, name: str, omega: float):
+def _overlap_delta(xb, bh, mh, om, delta_fn):
+    """dp for one sweep with the halo exchange OVERLAPPED with interior
+    compute (the capability the reference lacks — its loop is strictly
+    kernel -> Comm_S -> allreduce, cz_Poisson.cpp:39-79).
+
+    The full-block delta is computed with zero ghosts — correct everywhere
+    except the 6 one-cell-thick boundary faces, and data-independent of the
+    ppermutes, so XLA's latency-hiding scheduler can run the collectives
+    concurrently.  The faces are then recomputed from the true ghosts and
+    patched in.  Stencil deltas are pure elementwise ops (no reductions),
+    so the result is bitwise identical to the sequential exchange-then-sweep.
+    """
+    dp = _interior(delta_fn(pad_zeros(xb), bh, mh))
+    xh = exchange_halo(xb)  # ppermutes — no dependency on dp above
+    for axis in range(3):
+        L = dp.shape[axis]
+        for lo in (True, False):
+            sl = [slice(None)] * 3
+            sl[axis] = slice(0, 3) if lo else slice(L - 1, L + 2)
+            sub = tuple(sl)
+            dface = _interior(delta_fn(xh[sub], bh[sub], mh[sub]))
+            tgt = [slice(None)] * 3
+            tgt[axis] = slice(0, 1) if lo else slice(L - 1, L)
+            dp = dp.at[tuple(tgt)].set(dface)
+    return dp
+
+
+def make_dist_step(problem: Problem, cmesh: CubeMesh, name: str, omega: float,
+                   overlap: bool = False):
     """Build a sharded step(x, b) -> (x_new, r2) running one iteration with
-    explicit halo exchange.  Supported: jacobi, sor2sma, pcr (+aliases),
-    pcr_rb — constant-coefficient forms."""
+    explicit halo exchange.  Supported: jacobi, sor2sma, pcr_j_esa, pcr_rb
+    (+ MAF point sweeps).  ``overlap=True`` (jacobi/sor2sma, const) computes
+    the interior concurrently with the ghost collectives — see
+    _overlap_delta."""
     kind, is_maf = __parse(name)
 
     g = problem.grid
@@ -86,12 +116,23 @@ def make_dist_step(problem: Problem, cmesh: CubeMesh, name: str, omega: float):
 
     if kind == "jacobi":
 
-        def body(xb, bb, mb):
-            xh = exchange_halo(xb)
-            dp = _interior(
-                stencil.jacobi_delta(xh, pad_zeros(bb), pad_zeros(mb), om)
-            )
-            return xb + dp, psum_all(jnp.sum(dp * dp))
+        if overlap:
+
+            def body(xb, bb, mb):
+                dp = _overlap_delta(
+                    xb, pad_zeros(bb), pad_zeros(mb),
+                    om, lambda xh, bh, mh: stencil.jacobi_delta(xh, bh, mh, om),
+                )
+                return xb + dp, psum_all(jnp.sum(dp * dp))
+
+        else:
+
+            def body(xb, bb, mb):
+                xh = exchange_halo(xb)
+                dp = _interior(
+                    stencil.jacobi_delta(xh, pad_zeros(bb), pad_zeros(mb), om)
+                )
+                return xb + dp, psum_all(jnp.sum(dp * dp))
 
         fn = sharded(body)
         return lambda x, b: fn(x, b, msk)
@@ -102,14 +143,19 @@ def make_dist_step(problem: Problem, cmesh: CubeMesh, name: str, omega: float):
             cm0, cm1 = _global_color_masks(xb.shape, dtype)
             bh, r2 = pad_zeros(bb), jnp.zeros((), dtype)
             for cm in (cm0, cm1):
-                xh = exchange_halo(xb)  # fresh ghosts for color 0 only would
-                # match the reference exactly; we exchange per color, which is
-                # strictly *more* synchronized (serial-equivalent) — see
-                # make_dist_step_lowsync for the reference's single-exchange
-                # behavior.
-                dp = _interior(
-                    stencil.jacobi_delta(xh, bh, pad_zeros(mb * cm), om)
-                )
+                mh = pad_zeros(mb * cm)
+                if overlap:
+                    dp = _overlap_delta(
+                        xb, bh, mh, om,
+                        lambda xh, bhh, mhh: stencil.jacobi_delta(
+                            xh, bhh, mhh, om
+                        ),
+                    )
+                else:
+                    xh = exchange_halo(xb)  # per-color exchange: strictly
+                    # MORE synchronized than the reference's one exchange per
+                    # iteration (cz_Poisson.cpp:194-215) — serial-equivalent
+                    dp = _interior(stencil.jacobi_delta(xh, bh, mh, om))
                 xb = xb + dp
                 r2 = r2 + psum_all(jnp.sum(dp * dp))
             return xb, r2
@@ -180,7 +226,7 @@ def _make_dist_maf_step(problem: Problem, cmesh: CubeMesh, kind: str, om):
 
     from ..ops.maf import MafCoeffs
 
-    if kind not in ("jacobi", "sor2sma"):
+    if kind not in ("jacobi", "sor2sma", "pcr", "pcr_rb"):
         raise NotImplementedError(
             f"explicit distributed MAF step for '{kind}' — use the auto-SPMD "
             "path (serial solver on sharded arrays)"
@@ -225,6 +271,62 @@ def _make_dist_maf_step(problem: Problem, cmesh: CubeMesh, kind: str, om):
             in_specs=(FIELD_SPEC, FIELD_SPEC, FIELD_SPEC),
             out_specs=(FIELD_SPEC, P()),
         )
+
+    if kind in ("pcr", "pcr_rb"):
+        # block-local MAF K-lines with identity ghost rows (same scheme as
+        # the constant-coefficient path above; variable tridiagonal from
+        # the block's metric-table slice, cz_maf.f90:519-572)
+        lk = g.nk // cmesh.div[0]
+        pn = num_stage(lk + 2)
+
+        def line_solve_maf(xh, bh, mh, mcl):
+            xcol = xh[:, 1:-1, 1:-1]
+            mcol = mh[:, 1:-1, 1:-1]
+            bcol = bh[:, 1:-1, 1:-1]
+            c3 = mcl.c3            # (lk+2, 1, 1) ghosted
+            c9 = mcl.c9
+            c1 = mcl.c1[:, 1:-1, :]  # (1, li, 1) inner
+            c7 = mcl.c7[:, 1:-1, :]
+            c2 = mcl.c2[:, :, 1:-1]
+            c8 = mcl.c8[:, :, 1:-1]
+            half = jnp.asarray(0.5, dtype)
+            dw = half / (c1 + c2 + c3)
+            a = (-(c3 - half * c9) * dw) * mcol
+            c = (-(c3 + half * c9) * dw) * mcol
+            trans = (
+                (c1 + half * c7) * xh[:, 2:, 1:-1]
+                + (c1 - half * c7) * xh[:, :-2, 1:-1]
+                + (c2 + half * c8) * xh[:, 1:-1, 2:]
+                + (c2 - half * c8) * xh[:, 1:-1, :-2]
+            )
+            d = ((trans - bcol) * dw) * mcol + xcol * (1.0 - mcol)
+            return pcr_ops.pcr_reduce_var(a, c, d, pn)
+
+        if kind == "pcr":
+
+            def body(xb, bb, mb):
+                xh = exchange_halo(xb)
+                mcl = local_mc(xb.shape)
+                sol = line_solve_maf(xh, pad_zeros(bb), pad_zeros(mb), mcl)
+                dp = (sol[1:-1] - xb) * om * mb
+                return xb + dp, psum_all(jnp.sum(dp * dp))
+
+        else:
+
+            def body(xb, bb, mb):
+                r2 = jnp.zeros((), dtype)
+                lm0, lm1 = _global_line_masks(xb.shape, dtype)
+                mcl = local_mc(xb.shape)
+                for lm in (lm0, lm1):
+                    xh = exchange_halo(xb)
+                    sol = line_solve_maf(xh, pad_zeros(bb), pad_zeros(mb), mcl)
+                    dp = (sol[1:-1] - xb) * om * mb * lm
+                    xb = xb + dp
+                    r2 = r2 + psum_all(jnp.sum(dp * dp))
+                return xb, r2
+
+        fn = sharded(body)
+        return lambda x, b: fn(x, b, msk)
 
     if kind == "jacobi":
 

@@ -42,13 +42,19 @@ def weak_scaling(
     omega: float = 1.5,
     iters: int = 50,
     device_counts=None,
+    impl: str = "auto",
 ) -> list[ScalePoint]:
-    """Fixed per-device block, growing mesh; returns one point per count."""
+    """Fixed per-device block, growing mesh; returns one point per count.
+
+    ``impl='auto'`` measures the production path: the fused per-block
+    Pallas step (dist_fused) when it builds, else the explicit shard_map
+    jnp step.  ``impl='jnp'`` pins the portable path."""
     devices = jax.devices()
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8) if n <= len(devices)]
     points = []
     for n in device_counts:
+        from ..parallel import dist_fused
         from ..parallel.decomp import auto_division
 
         # grow the cube so each device holds a block^3 region
@@ -56,7 +62,23 @@ def weak_scaling(
         gsize = tuple(block * d for d in div)
         cm = make_mesh(gsize, devices=devices[:n], div=div)
         prob = Problem.poisson_cube((gsize[1], gsize[2], gsize[0]))
-        step = make_dist_step(prob, cm, solver, omega)
+
+        step = None
+        on_tpu = jax.default_backend() == "tpu"
+        # fused kernels off-TPU run in interpret mode — meaningless to time;
+        # 'fused' forces them anyway (functional check)
+        if impl == "fused" or (impl != "jnp" and on_tpu):
+            step = dist_fused.make_dist_fused_step(
+                prob, cm, solver, omega, b_is_zero=prob.rhs_inner_zero,
+                interpret=not on_tpu,
+            )
+        if step is not None:
+            x = dist_fused.to_block_state(cm, prob.x0)
+            b = dist_fused.to_block_state(cm, prob.rhs)
+        else:
+            step = make_dist_step(prob, cm, solver, omega)
+            x = cm.shard(prob.x0)
+            b = cm.shard(prob.rhs)
 
         def run(x, b):
             def body(_, xx):
@@ -66,8 +88,6 @@ def weak_scaling(
             return jax.lax.fori_loop(0, iters, body, x)
 
         runj = jax.jit(run)
-        x = cm.shard(prob.x0)
-        b = cm.shard(prob.rhs)
         y = runj(x, b)
         jax.block_until_ready(y)
         t0 = time.perf_counter()

@@ -41,10 +41,13 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
         return ent[1]
 
     if kind in ("pcr", "pcr_rb"):
-        from ..pallas_kernels import pcr as fk
+        # MXU line solvers (matmul / fast-diagonalization, lines.py);
+        # the PCR-stage kernels remain in pallas_kernels/pcr.py
+        from ..pallas_kernels import lines as fk
 
-        step = fk.make_fused_pcr_step(
-            kind, grid.shape_kij, grid.dtype, omega=omega, mc=mc,
+        step = fk.make_line_step(
+            "pcr_j" if kind == "pcr" else "pcr_rb",
+            grid.shape_kij, grid.dtype, omega=omega, mc=mc,
             b_is_zero=b_is_zero, interpret=interpret,
         )
     else:
@@ -95,9 +98,11 @@ def get_jnp_step(problem, solver: str, omega: float):
 def pad_unpad(kind: str, grid):
     """(pad, unpad) converters for the kind's state layout."""
     if kind in ("pcr", "pcr_rb"):
-        from ..pallas_kernels import pcr as fk
+        from ..pallas_kernels import lines as fk
 
-        return fk.to_line_layout, lambda a: fk.from_line_layout(a, grid.shape_kij)
+        return fk.to_line4_layout, lambda a: fk.from_line4_layout(
+            a, grid.shape_kij
+        )
     from ..pallas_kernels import sweeps as fk
 
     return fk.pad_k2, lambda a: fk.unpad_k2(a, grid.shape_kij)

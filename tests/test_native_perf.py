@@ -87,3 +87,38 @@ def test_roofline_costs():
     assert pcr_flops_per_pt(126) == 6 + 14 * 5 + 74 * 32 / 126 + 6 + 6
     fp, bp = sweep_cost("pcr", (128, 64, 64))
     assert fp > 0 and bp == 3 * 128 * 64 * 64 * 4
+
+
+def test_profile_solve_serial_sections():
+    # measured per-phase profiling: a serial profile has sweep + overhead rows
+    import jax.numpy as jnp
+
+    from cubez_tpu import Problem
+    from cubez_tpu.perf.profile import profile_solve
+
+    prob = Problem.poisson_cube(16, dtype=jnp.float32)
+    pm = profile_solve(prob, "sor2sma", omega=1.5, iters=5)
+    rep = pm.report()
+    assert "sor2sma_sweep" in rep and "driver_overhead" in rep
+    assert pm.sections["sor2sma_sweep"].seconds > 0
+    assert pm.sections["sor2sma_sweep"].flops > 0
+
+
+def test_profile_solve_dist_comm_bytes():
+    # a distributed profile must record nonzero COMM bytes
+    # (cz_Evaluate.cpp:181-184 accounting)
+    import jax
+    import jax.numpy as jnp
+
+    from cubez_tpu import Problem
+    from cubez_tpu.parallel.mesh import make_mesh
+    from cubez_tpu.perf.profile import profile_solve
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=jax.devices("cpu")[:8], div=(2, 2, 2))
+    pm = profile_solve(prob, "sor2sma", omega=1.5, iters=4, cmesh=cm)
+    halo = pm.sections["halo_exchange"]
+    assert halo.kind == "COMM" and halo.bytes > 0 and halo.seconds > 0
+    assert pm.sections["residual_allreduce"].bytes > 0
+    assert pm.sections["sor2sma_block_sweep"].flops > 0

@@ -129,3 +129,56 @@ def test_dist_maf_matches_serial(name):
         x_d, r_d = dist_step(x_d, b_d)
     np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_s), rtol=2e-5, atol=1e-6)
     np.testing.assert_allclose(float(r_d), float(r_s), rtol=1e-4)
+
+
+def test_overlap_mode_bitwise_vs_sequential():
+    # sync='overlap' computes the interior concurrently with the ghost
+    # collectives; stencil deltas are pure elementwise ops, so the result
+    # must be BITWISE identical to the sequential exchange-then-sweep step
+    # (sor2sma covers the jacobi delta machinery per color)
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    seq = make_dist_step(prob, cm, "sor2sma", 1.5)
+    ovl = make_dist_step(prob, cm, "sor2sma", 1.5, overlap=True)
+    x_s, x_o = cm.shard(prob.x0), cm.shard(prob.x0)
+    b = cm.shard(prob.rhs)
+    for _ in range(3):
+        x_s, r_s = seq(x_s, b)
+        x_o, r_o = ovl(x_o, b)
+    np.testing.assert_array_equal(np.asarray(x_o), np.asarray(x_s))
+
+
+def test_dist_maf_line_matches_serial_unsplit_k():
+    # explicit sharded MAF line step (variable tridiagonals from the block's
+    # metric-table slice): with K unsplit it must match the serial sweep
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32, maf=True)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(1, 2, 4))
+    serial_step = steps_mod.make_step(prob, "pcr_rb_maf", 1.2)
+    dist_step = make_dist_step(prob, cm, "pcr_rb_maf", 1.2)
+    x_s, x_d, b_d = prob.x0, cm.shard(prob.x0), cm.shard(prob.rhs)
+    for _ in range(3):
+        x_s, r_s = serial_step(x_s, prob.rhs)
+        x_d, r_d = dist_step(x_d, b_d)
+    np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_s), rtol=3e-5,
+                               atol=1e-6)
+
+
+def test_solve_dist_total_all_solvers():
+    # every reference solver name must run under solve_dist (the reference
+    # runs all of them multi-rank, cz_Poisson.cpp) — fused, explicit, or
+    # auto-SPMD fallback
+    from cubez_tpu.parallel.api import solve_dist
+    from cubez_tpu.solvers.steps import ALL_SOLVERS
+
+    n = 16
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    for name in ALL_SOLVERS:
+        if name.startswith("pbicgstab"):
+            continue  # Krylov distributes via auto-SPMD in solve()
+        maf = name.endswith("_maf")
+        prob = Problem.poisson_cube(n, dtype=jnp.float32, maf=maf)
+        r = solve_dist(prob, cm, name, omega=1.0, itr_max=3, eps=1e-30)
+        assert r.iters == 3, name
+        assert np.isfinite(r.res), name
