@@ -252,12 +252,15 @@ def _sweep_kernel(
     def _():
         in_dma(nslot, t + 1).start()
 
-    @pl.when((t == 0) & (1 < T))
-    def _():
-        if not b_is_zero:
-            b_dma(nslot, 1).start()
-        if maf:
-            tk_dma(nslot, 1).start()
+    if T > 1:  # static: pl.when still traces its body, and tile-1 slices
+        # would be out of bounds on a single-tile grid
+
+        @pl.when(t == 0)
+        def _():
+            if not b_is_zero:
+                b_dma(nslot, 1).start()
+            if maf:
+                tk_dma(nslot, 1).start()
 
     if not b_is_zero:
         b_dma(slot, t).wait()

@@ -20,21 +20,45 @@ import jax.numpy as jnp
 
 from cubez_tpu import Problem, max_error, solve
 
-# (label, N, solver, omega, precond, itr_max)
+# (label, N, solver, omega, precond, itr_max[, rate_iters])
+# rate_iters > 0: the solver is wavefront-exact (psor / line-GS pcr) whose
+# O(N) sequential plane passes per sweep are inherent to exact Gauss-Seidel
+# ordering (the reference's OpenMP version is racy; serial is its only
+# deterministic semantics) — measure the per-iteration rate over a few
+# iterations and report it instead of a full (hours-long) solve.
 CONFIGS = [
     ("jacobi 64^3", 64, "jacobi", 0.8, None, 20000),
     ("sor2sma 128^3", 128, "sor2sma", 1.5, None, 20000),
+    ("psor 128^3 (rate)", 128, "psor", 1.1, None, 20000, 3),
+    ("pcr line-GS 128^3 (rate)", 128, "pcr", 1.5, None, 20000, 3),
+    ("pcr_j_esa 128^3", 128, "pcr_j_esa", 1.0, None, 20000),
     ("pcr_rb 128^3", 128, "pcr_rb", 1.5, None, 20000),
     ("sor2sma_maf 128^3", 128, "sor2sma_maf", 1.5, None, 20000),
     ("pcr_rb_maf 128^3", 128, "pcr_rb_maf", 1.5, None, 20000),
     ("pbicgstab+sor2sma 64^3", 64, "pbicgstab", 1.1, "sor2sma", 4000),
     ("pbicgstab+sor2sma 128^3", 128, "pbicgstab", 1.1, "sor2sma", 4000),
+    ("pbicgstab+sor2sma 256^3", 256, "pbicgstab", 1.1, "sor2sma", 4000),
+    ("sor2sma 512^3", 512, "sor2sma", 1.5, None, 40000),
 ]
 
 
-def run_one(label, n, solver, omega, precond, itr_max):
+def run_one(label, n, solver, omega, precond, itr_max, rate_iters=0):
     maf = solver.endswith("_maf")
     prob = Problem.poisson_cube(n, dtype=jnp.float32, maf=maf)
+    if rate_iters:
+        # per-iteration rate only (see CONFIGS comment)
+        solve(prob, solver, omega=omega, itr_max=rate_iters, precond=precond,
+              eps=1e-30)
+        t0 = time.perf_counter()
+        r = solve(prob, solver, omega=omega, itr_max=rate_iters,
+                  precond=precond, eps=1e-30)
+        jax.block_until_ready(r.x)
+        dt = time.perf_counter() - t0
+        cups = prob.grid.num_inner * r.iters / dt
+        return {
+            "label": label, "iters": f"{r.iters} (rate run)", "res": r.res,
+            "err": float("nan"), "wall_s": dt, "mcups": cups / 1e6,
+        }
     # warm-up compiles the exact executable: same static itr_max, but a
     # trivially-satisfied eps stops it after one iteration
     solve(prob, solver, omega=omega, itr_max=itr_max, precond=precond, eps=1e9)
