@@ -91,29 +91,33 @@ def main(argv=None):
     if kind == "pbicgstab":
         print(f"Preconditioner = {precond}")
 
-    if args.warmup and cm is None:
+    if args.warmup:
         # same static config, trivially-satisfied eps -> one iteration
-        solve(
-            prob, args.solver, omega=args.coef, itr_max=args.itr_max,
-            eps=1e9, precond=precond, impl=args.impl,
-        )
+        # compiles the exact executable (serial AND distributed)
+        if cm is not None:
+            from .parallel.api import solve_dist
+
+            solve_dist(
+                prob, cm, args.solver, omega=args.coef,
+                itr_max=args.itr_max, eps=1e9, impl=args.impl,
+                precond=precond,
+            )
+        else:
+            solve(
+                prob, args.solver, omega=args.coef, itr_max=args.itr_max,
+                eps=1e9, precond=precond, impl=args.impl,
+            )
 
     t0 = time.perf_counter()
-    if cm is not None and kind != "pbicgstab":
+    if cm is not None:
         from .parallel.api import solve_dist
 
         res = solve_dist(
             prob, cm, args.solver, omega=args.coef, itr_max=args.itr_max,
             eps=args.eps, history_path=f"{args.solver}.txt", impl=args.impl,
+            precond=precond,
         )
     else:
-        if cm is not None:  # BiCGSTAB distributes via auto-SPMD sharding
-            import dataclasses
-
-            prob = dataclasses.replace(
-                prob, x0=cm.shard(prob.x0), rhs=cm.shard(prob.rhs),
-                msk=cm.shard(prob.msk),
-            )
         res = solve(
             prob,
             args.solver,

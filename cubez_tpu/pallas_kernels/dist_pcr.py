@@ -51,9 +51,10 @@ def unpad_line_block(xp, block_shape):
 
 
 def _dist_pcr_kernel(
-    offs_ref, xp_ref, bp_ref, out_ref, r2_ref,
+    offs_ref, xp_ref, bp_ref, tki_ref, tkj_ref, tkk_ref, out_ref, r2_ref,
     xs, bs, outs, in_sems, b_sems, out_sems,
-    *, gshape, lk, li, lj, Kp, Jp, it, omega, offset, color, b_is_zero, pn
+    *, gshape, lk, li, lj, Kp, Jp, it, omega, offset, color, b_is_zero, pn,
+    maf
 ):
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -125,21 +126,49 @@ def _dist_pcr_kernel(
 
     zero = jnp.zeros((), dtype)
     r6 = jnp.asarray(R6, dtype)
-    trans = (
-        xv[2:, :n, :]
-        + xv[:-2, :n, :]
-        + _roll(xline, -1, 2)
-        + _roll(xline, 1, 2)
-    )
-    if b_is_zero:
-        rhs = trans * r6
+    if maf:
+        # variable (MAF) block-local tridiagonal: per-block metric tables
+        # arrive pre-sliced from the shard_map body (block offsets are
+        # traced there); math mirrors parallel/dist.py line_solve_maf
+        # (cz_maf.f90:519-572 normalized by dw)
+        ti = tki_ref[pl.ds(t * it + 1, it)]  # (it, 2, Jp): c1, c7 per line
+        c1 = ti[:, 0:1, :]
+        c7 = ti[:, 1:2, :]
+        c2 = tkj_ref[0][None]  # (1, 1, Jp)
+        c8 = tkj_ref[1][None]
+        c3 = tkk_ref[0][None, :n, :]  # (1, n, Jp) over the line extent
+        c9 = tkk_ref[1][None, :n, :]
+        half = jnp.asarray(0.5, dtype)
+        dw = half / (c1 + c2 + c3)
+        trans = (
+            (c1 + half * c7) * xv[2:, :n, :]
+            + (c1 - half * c7) * xv[:-2, :n, :]
+            + (c2 + half * c8) * _roll(xline, -1, 2)
+            + (c2 - half * c8) * _roll(xline, 1, 2)
+        )
+        if b_is_zero:
+            rhs = trans * dw
+        else:
+            rhs = (trans - bs[slot][:, :n, :]) * dw
+        a = jnp.where(m, -(c3 - half * c9) * dw, zero)
+        c = jnp.where(m, -(c3 + half * c9) * dw, zero)
+        d = jnp.where(m, rhs, xline)
     else:
-        rhs = (trans - bs[slot][:, :n, :]) * r6
-    # identity equations (x = current value) on every non-stencil row:
-    # ghosts, physical-boundary rows, and non-line columns
-    a = jnp.where(m, -r6, zero)
-    c = jnp.where(m, -r6, zero)
-    d = jnp.where(m, rhs, xline)
+        trans = (
+            xv[2:, :n, :]
+            + xv[:-2, :n, :]
+            + _roll(xline, -1, 2)
+            + _roll(xline, 1, 2)
+        )
+        if b_is_zero:
+            rhs = trans * r6
+        else:
+            rhs = (trans - bs[slot][:, :n, :]) * r6
+        # identity equations (x = current value) on every non-stencil row:
+        # ghosts, physical-boundary rows, and non-line columns
+        a = jnp.where(m, -r6, zero)
+        c = jnp.where(m, -r6, zero)
+        d = jnp.where(m, rhs, xline)
 
     sol = _pcr_solve_var(a, c, d, pn)
 
@@ -176,12 +205,19 @@ def make_block_pcr(
     offset: int = 0,
     it: int | None = None,
     b_is_zero: bool = False,
+    maf: bool = False,
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
-    """Build ``sweep(xp, bp, offs) -> (xp_new, r2_local)`` on the block line
-    state; ``offs`` = (1,3) int32 global (k0, i0, j0).  ``color`` as in the
-    serial fused PCR.  None if no viable I tiling.
+    """Build ``sweep(xp, bp, offs[, tki, tkj, tkk]) -> (xp_new, r2_local)``
+    on the block line state; ``offs`` = (1,3) int32 global (k0, i0, j0).
+    ``color`` as in the serial fused PCR.  None if no viable I tiling.
+
+    ``maf=True`` switches to the variable-coefficient MAF line solve; the
+    caller passes per-block metric tables (built in the shard_map body —
+    block offsets are traced there; see dist_fused.make_dist_fused_step):
+    tki (li+2, 2, Jp) c1/c7 rows, tkj (2, 1, Jp) c2/c8 lanes,
+    tkk (2, Kp, Jp) c3/c9 over the ghost-extended line extent.
 
     PCR depth is num_stage(lk+2) — the local line plus its identity ghost
     rows, matching parallel/dist.py's jnp line_solve bit-for-bit.
@@ -212,6 +248,7 @@ def make_block_pcr(
         color=color,
         b_is_zero=bool(b_is_zero),
         pn=pn,
+        maf=maf,
     )
 
     call = pl.pallas_call(
@@ -221,6 +258,9 @@ def make_block_pcr(
             pl.BlockSpec((1, 3), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -249,8 +289,17 @@ def make_block_pcr(
         interpret=interpret,
     )
 
-    def sweep(xp, bp, offs):
-        out, r2 = call(offs, xp, bp)
+    _dti = jnp.zeros((1, 2, Jp), dtype)
+    _dtj = jnp.zeros((2, 1, Jp), dtype)
+    _dtk = jnp.zeros((2, 8, Jp), dtype)
+
+    def sweep(xp, bp, offs, tki=None, tkj=None, tkk=None):
+        out, r2 = call(
+            offs, xp, bp,
+            _dti if tki is None else tki,
+            _dtj if tkj is None else tkj,
+            _dtk if tkk is None else tkk,
+        )
         return out, r2[0, 0]
 
     sweep.it = it

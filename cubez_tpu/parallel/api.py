@@ -35,6 +35,7 @@ def solve_dist(
     impl: str = "auto",
     sync: str = "color",
     check_every: Optional[int] = None,
+    precond: Optional[str] = None,
 ) -> SolveResult:
     """Run a relaxation/line solver distributed over the mesh.
 
@@ -51,12 +52,34 @@ def solve_dist(
 
     g = problem.grid
     kind, is_maf = parse_name(solver)
+
+    if kind == "pbicgstab":
+        # Krylov vectors stay sharded fields (dots lower to psum
+        # all-reduces under GSPMD); the preconditioner runs the fused
+        # per-block sweeps (bicgstab._fused_precon with cmesh)
+        import dataclasses
+
+        from ..solvers.bicgstab import make_bicgstab
+
+        prob_sh = dataclasses.replace(
+            problem,
+            x0=cmesh.shard(problem.x0),
+            rhs=cmesh.shard(problem.rhs),
+            msk=cmesh.shard(problem.msk),
+        )
+        run = make_bicgstab(prob_sh, solver, omega, precond, impl,
+                            cmesh=cmesh)
+        result = run(prob_sh.x0, prob_sh.rhs, itr_max, eps, g.res_normal)
+        if history_path:
+            result.write_history(history_path)
+        return result
+
     line = kind in ("pcr", "pcr_rb")
     use_fused = (
         impl != "jnp"
         and g.dtype == jnp.float32
-        and not is_maf
         and kind in ("jacobi", "sor2sma", "pcr", "pcr_rb")
+        and (not is_maf or line)  # MAF line solvers fuse per block too
     )
 
     overlap = sync == "overlap"

@@ -181,18 +181,22 @@ def make_dist_fused_step(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    mc = problem.mc
+    maf = mc is not None
     kw = dict(omega=omega, b_is_zero=b_is_zero, interpret=interpret)
     line = kind in ("pcr", "pcr_rb")
     if line:
         refresh = _refresh_ghosts_line
         if kind == "pcr_rb":
             sweeps = [
-                make_block_pcr(bs, gshape, g.dtype, color=c, **kw)
+                make_block_pcr(bs, gshape, g.dtype, color=c, maf=maf, **kw)
                 for c in (0, 1)
             ]
         else:
-            sweeps = [make_block_pcr(bs, gshape, g.dtype, **kw)]
+            sweeps = [make_block_pcr(bs, gshape, g.dtype, maf=maf, **kw)]
     else:
+        if maf:
+            return None  # MAF point sweeps: explicit jnp dist step covers
         refresh = _refresh_ghosts
         if kind == "sor2sma" and sync == "color":
             sweeps = [
@@ -204,6 +208,53 @@ def make_dist_fused_step(
     if any(s is None for s in sweeps):
         return None
 
+    if line and maf:
+        # replicated padded global metric tables; each block dynamic-slices
+        # its ghost-extended extent in the shard_map body (offsets are
+        # traced there) and hands the slices to the kernel
+        import numpy as np
+
+        from ..pallas_kernels.dist_pcr import line_block_layout
+
+        _, Kp, Jp = line_block_layout(bs)
+        npdt = np.dtype(g.dtype)
+        Kg, Ig, Jg = gshape
+
+        def pad1d(v, ng, fill):
+            out = np.full(ng, fill, npdt)
+            vv = np.asarray(v, npdt).reshape(-1)
+            out[1 : 1 + len(vv)] = vv
+            return out
+
+        # entry p maps to global index p-1 (one ghost each side + slack)
+        c1g = pad1d(mc.c1, Ig + 2, 1.0)
+        c7g = pad1d(mc.c7, Ig + 2, 0.0)
+        tki_g = jnp.asarray(
+            np.broadcast_to(
+                np.stack([c1g, c7g], axis=1)[:, :, None], (Ig + 2, 2, Jp)
+            ).copy()
+        )
+        c2g = pad1d(mc.c2, Jg + 2 + Jp, 1.0)
+        c8g = pad1d(mc.c8, Jg + 2 + Jp, 0.0)
+        tkj_g = jnp.asarray(np.stack([c2g, c8g])[:, None, :])
+        c3g = pad1d(mc.c3, Kg + 2 + Kp, 1.0)
+        c9g = pad1d(mc.c9, Kg + 2 + Kp, 0.0)
+        tkk_g = jnp.asarray(
+            np.broadcast_to(
+                np.stack([c3g, c9g])[:, :, None], (2, Kg + 2 + Kp, Jp)
+            ).copy()
+        )
+
+        def block_tables():
+            z0 = jnp.zeros((), jnp.int32)
+            k0 = lax.axis_index("z").astype(jnp.int32) * lk
+            i0 = lax.axis_index("x").astype(jnp.int32) * li
+            j0 = lax.axis_index("y").astype(jnp.int32) * lj
+            tki = lax.dynamic_slice(tki_g, (i0, z0, z0), (li + 2, 2, Jp))
+            tkj = lax.dynamic_slice(tkj_g, (z0, z0, j0), (2, 1, Jp))
+            tkk = lax.dynamic_slice(tkk_g, (z0, k0, z0), (2, Kp, Jp))
+            return tki, tkj, tkk
+
     def body(xp, bp):
         offs = jnp.stack(
             [
@@ -212,10 +263,11 @@ def make_dist_fused_step(
                 lax.axis_index("y").astype(jnp.int32) * lj,
             ]
         ).reshape(1, 3)
+        tabs = block_tables() if (line and maf) else ()
         r2 = jnp.zeros((), jnp.float32)
         for sweep in sweeps:
             xp = refresh(xp, bs)
-            xp, r2c = sweep(xp, bp, offs)
+            xp, r2c = sweep(xp, bp, offs, *tabs)
             r2 = r2 + r2c
         return xp, lax.psum(r2, AXES)
 

@@ -27,8 +27,13 @@ FLT_MIN = float(np.finfo(np.float32).tiny)  # rho breakdown (cz_Poisson.cpp:379)
 PRECOND_SWEEPS = 8
 
 
-def _fused_precon(problem: Problem, precond: str, omega: float, impl: str):
-    """Fused-Pallas 8-sweep preconditioner when eligible, else None."""
+def _fused_precon(problem: Problem, precond: str, omega: float, impl: str,
+                  cmesh=None):
+    """Fused-Pallas 8-sweep preconditioner when eligible, else None.
+
+    With ``cmesh`` the preconditioner runs the fused PER-BLOCK distributed
+    sweeps (dist_fused): the Krylov vectors stay plain sharded fields and
+    are converted to/from ghosted block state around the 8 sweeps."""
     import jax
 
     if impl == "jnp" or problem.grid.dtype != jnp.float32:
@@ -43,6 +48,32 @@ def _fused_precon(problem: Problem, precond: str, omega: float, impl: str):
     g = problem.grid
     if kind not in ("jacobi", "sor2sma", "pcr", "pcr_rb"):
         return None
+
+    if cmesh is not None:
+        from ..parallel import dist_fused
+
+        step = dist_fused.make_dist_fused_step(
+            problem, cmesh, kind, omega, interpret=interpret
+        )
+        if step is None:
+            return None
+        line = kind in ("pcr", "pcr_rb")
+        to_state = (
+            dist_fused.to_line_block_state if line else dist_fused.to_block_state
+        )
+        from_state = (
+            dist_fused.from_line_block_state
+            if line
+            else dist_fused.from_block_state
+        )
+
+        def precon_dist(bb):
+            bp = to_state(cmesh, bb)
+            xp = fixed_sweeps(step, jnp.zeros_like(bp), bp, PRECOND_SWEEPS)
+            return from_state(cmesh, xp, g.shape_kij)
+
+        return precon_dist
+
     from .fused_cache import get_fused_step, pad_unpad
 
     step = get_fused_step(kind, g, omega, None, interpret)
@@ -60,9 +91,13 @@ def _fused_precon(problem: Problem, precond: str, omega: float, impl: str):
 
 def make_bicgstab(
     problem: Problem, name: str, omega_accel: float, precond: str | None,
-    impl: str = "auto",
+    impl: str = "auto", cmesh=None,
 ):
-    """Returns run(x0, b, itr_max, eps) -> (x, itr, res, hist)."""
+    """Returns run(x0, b, itr_max, eps) -> (x, itr, res, hist).
+
+    ``cmesh``: distributed mode — blas ops run auto-SPMD on the sharded
+    Krylov vectors (dots lower to psum all-reduces) while the
+    preconditioner uses the fused per-block sweeps."""
     _, is_maf = steps_mod.parse_name(name)
     g = problem.grid
     msk = problem.msk
@@ -76,7 +111,7 @@ def make_bicgstab(
         rk = lambda p, b: blas.calc_rk(p, b, msk)
 
     if precond and precond.lower() not in ("none", "copy"):
-        precon = _fused_precon(problem, precond, omega_accel, impl)
+        precon = _fused_precon(problem, precond, omega_accel, impl, cmesh)
         if precon is None:
             pstep = steps_mod.make_step(problem, precond, omega_accel)
             precon = lambda bb: fixed_sweeps(

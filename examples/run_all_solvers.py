@@ -29,7 +29,6 @@ ITMAX = 20000
 CONFIGS = [
     ("jacobi", 0.8, None),
     ("sor2sma", 1.5, None),
-    ("pcr", 1.5, None),
     ("pcr_rb", 1.5, None),
     ("pcr_j_esa", 1.0, None),
     ("pbicgstab", 1.1, "sor2sma"),
@@ -55,16 +54,18 @@ def main():
         print(f"{name:<16}{om:>6}{r.iters:>8}{r.res:>12.3e}{err:>12.3e}"
               f"{cups:>10.1f}")
 
-    # psor is exact wavefront Gauss-Seidel: (3N-6) sequential masked sweeps
-    # per iteration, so demo it small (its math is tested in tests/)
-    prob = Problem.poisson_cube(24, dtype=jnp.float32)
-    t0 = time.perf_counter()
-    r = solve(prob, "psor", omega=1.1, itr_max=500)
-    jax.block_until_ready(r.x)
-    dt = time.perf_counter() - t0
-    err = max_error(prob.grid, r.x)
-    print(f"{'psor (24^3)':<16}{1.1:>6}{r.iters:>8}{r.res:>12.3e}"
-          f"{err:>12.3e}{prob.grid.num_inner * r.iters / dt / 1e6:>10.1f}")
+    # psor and pcr are exact wavefront Gauss-Seidel (point / line): O(N)
+    # sequential masked passes per iteration, so demo them small (their math
+    # and reference parity are covered in tests/test_ref_parity.py)
+    for name, om in (("psor", 1.1), ("pcr", 1.5)):
+        prob = Problem.poisson_cube(24, dtype=jnp.float32)
+        t0 = time.perf_counter()
+        r = solve(prob, name, omega=om, itr_max=2000)
+        jax.block_until_ready(r.x)
+        dt = time.perf_counter() - t0
+        err = max_error(prob.grid, r.x)
+        print(f"{name + ' (24^3)':<16}{om:>6}{r.iters:>8}{r.res:>12.3e}"
+              f"{err:>12.3e}{prob.grid.num_inner * r.iters / dt / 1e6:>10.1f}")
 
 
 if __name__ == "__main__":

@@ -200,7 +200,9 @@ def test_dist_fused_pcr_matches_jnp_dist(kind, om, div):
     cm = make_mesh((n, n, n), devices=cpu8()[:ndev], div=div)
     fstep = dist_fused.make_dist_fused_step(prob, cm, kind, om)
     assert fstep is not None
-    jstep = make_dist_step(prob, cm, kind, om)
+    # dist_fused kinds are internal ('pcr' = the line-Jacobi block form);
+    # the solver NAME for that form is pcr_j_esa
+    jstep = make_dist_step(prob, cm, "pcr_j_esa" if kind == "pcr" else kind, om)
     xs = dist_fused.to_line_block_state(cm, prob.x0)
     bs = dist_fused.to_line_block_state(cm, prob.rhs)
     xj = cm.shard(prob.x0)
@@ -223,3 +225,26 @@ def test_solve_dist_pcr_rb():
     r = solve_dist(prob, cm, "pcr_rb", omega=1.5, itr_max=2000)
     assert r.res < 1e-5
     assert max_error(prob.grid, r.x) < 5e-3
+
+
+def test_dist_fused_maf_pcr_rb_matches_jnp_dist():
+    """Fused block MAF line sweep (per-block metric-table slices) == the
+    explicit jnp dist MAF line step, including split K."""
+    from cubez_tpu.parallel.dist import make_dist_step
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32, maf=True)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    fstep = dist_fused.make_dist_fused_step(prob, cm, "pcr_rb", 1.2)
+    assert fstep is not None
+    jstep = make_dist_step(prob, cm, "pcr_rb_maf", 1.2)
+    xs = dist_fused.to_line_block_state(cm, prob.x0)
+    bs = dist_fused.to_line_block_state(cm, prob.rhs)
+    xj = cm.shard(prob.x0)
+    bj = cm.shard(prob.rhs)
+    for _ in range(3):
+        xs, r2f = fstep(xs, bs)
+        xj, r2j = jstep(xj, bj)
+    back = dist_fused.from_line_block_state(cm, xs, prob.grid.shape_kij)
+    assert float(jnp.max(jnp.abs(back - xj))) < 2e-5
+    np.testing.assert_allclose(float(r2f), float(r2j), rtol=1e-3, atol=1e-6)

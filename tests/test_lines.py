@@ -134,3 +134,31 @@ def test_line_rb_kernel_matches_jnp(maf):
         np.asarray(xf), np.asarray(x_ref), rtol=2e-5, atol=2e-6
     )
     np.testing.assert_allclose(float(r2f), float(r2r), rtol=2e-4)
+
+
+def test_maf_fastdiag_stretched_grid():
+    """Genuinely variable coefficients (tanh-stretched coordinates): the
+    fast-diagonalization line solve must match a Thomas solve of the same
+    variable tridiagonal for every lambda(i,j) in the table."""
+    from cubez_tpu.ops.maf import MafCoeffs
+
+    n = 30
+    t = np.linspace(0.0, 1.0, n + 2)
+    stretch = lambda u: 0.5 * (1 + np.tanh(2.5 * (2 * u - 1)) / np.tanh(2.5))
+    xc = jnp.asarray(stretch(t))
+    yc = jnp.asarray(t**1.5)
+    zc = jnp.asarray(stretch(t) * 0.7 + 0.3 * t)
+    mc = MafCoeffs.from_coords(xc, yc, zc)
+
+    V, Vi, mu = fastdiag.maf_line_diag(mc, n, np.float64)
+    wzm, wzp, d2c3, _li, _lj = fastdiag.maf_line_coeffs(mc, n)
+    lam_tab = fastdiag.maf_lambda_table(mc, n + 2, n + 2, np.float64)
+    rng = np.random.default_rng(3)
+    a = np.concatenate([[0.0], -wzm[1:]])
+    c = np.concatenate([-wzp[:-1], [0.0]])
+    for (i, j) in [(1, 1), (7, 23), (15, 2)]:
+        lam = lam_tab[i, j]
+        d = rng.standard_normal(n)
+        x_ref = thomas_var(a, d2c3 + lam, c, d)
+        x_fd = V @ ((Vi @ d) / (mu + lam))
+        np.testing.assert_allclose(x_fd, x_ref, rtol=1e-9, atol=1e-11)

@@ -182,3 +182,19 @@ def test_solve_dist_total_all_solvers():
         r = solve_dist(prob, cm, name, omega=1.0, itr_max=3, eps=1e-30)
         assert r.iters == 3, name
         assert np.isfinite(r.res), name
+
+
+def test_solve_dist_pbicgstab_fused_block_precond():
+    # distributed BiCGSTAB: sharded Krylov vectors (psum dots) with the
+    # preconditioner running the fused per-block sweeps (interpret on CPU)
+    from cubez_tpu.parallel.api import solve_dist
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    r_d = solve_dist(prob, cm, "pbicgstab", omega=1.1, itr_max=50,
+                     precond="sor2sma", impl="pallas")
+    r_s = solve(prob, "pbicgstab", omega=1.1, itr_max=50,
+                precond="sor2sma", impl="jnp")
+    assert r_d.res < 1e-5
+    assert abs(r_d.iters - r_s.iters) <= 1
