@@ -8,7 +8,9 @@ fixed iteration count on the local chip and prints ONE JSON line.
 sweep (the reference publishes no absolute numbers — BASELINE.md — so the
 roofline is the meaningful yardstick).  The SoL denominator is the *minimal*
 HBM traffic for one full RB iteration with zero RHS: one read + one write of
-the field (2 passes).
+the field (2 passes).  The temporally-blocked pair kernel (sweeps2x.py)
+amortizes that traffic over TWO iterations, so vs_baseline may legitimately
+exceed 1.0 — it beats the single-iteration speed-of-light.
 
 Timing methodology (hardened against remote-execution tunnels):
 * every timed call computes a scalar digest fetched to the host, so a
@@ -46,13 +48,30 @@ def main():
     step = None
     kernel = "xla"
     if jax.default_backend() == "tpu":
-        try:
-            from cubez_tpu.pallas_kernels import sweeps as fused
+        from cubez_tpu.pallas_kernels import sweeps as fused
 
-            fstep = fused.make_fused_sweep(
-                "sor2sma", shape, jnp.float32, omega=OMEGA, b_is_zero=True
+        # temporally-blocked pair kernel first (2 iterations per HBM pass,
+        # sweeps2x.py), single-iteration fused kernel as fallback
+        candidates = []
+        try:
+            from cubez_tpu.pallas_kernels import sweeps2x
+
+            candidates.append(
+                ("pallas-fused-2x",
+                 sweeps2x.make_fused_sweep2x(shape, jnp.float32, omega=OMEGA))
             )
-            if fstep is not None:
+        except Exception:
+            pass
+        candidates.append(
+            ("pallas-fused",
+             fused.make_fused_sweep(
+                 "sor2sma", shape, jnp.float32, omega=OMEGA, b_is_zero=True
+             ))
+        )
+        for name, fstep in candidates:
+            if fstep is None:
+                continue
+            try:
                 # smoke-run one step before committing to the fused path
                 # (fused-vs-XLA parity itself is covered by the test suite)
                 y, _ = jax.jit(fstep)(
@@ -62,9 +81,10 @@ def main():
                 step = fstep
                 x0 = fused.pad_k2(prob.x0)
                 b0 = fused.pad_k2(prob.rhs)
-                kernel = "pallas-fused"
-        except Exception:
-            step = None
+                kernel = name
+                break
+            except Exception:
+                step = None
 
     if step is None:
         step = make_step(prob, "sor2sma", omega=OMEGA)

@@ -1,0 +1,275 @@
+"""Temporally-blocked red-black SOR: TWO full iterations per HBM pass.
+
+The single-iteration fused kernel (sweeps.py) is already at the
+one-iteration speed-of-light (read x + write x with the RHS skipped).  This
+kernel halves the traffic per iteration by keeping a second, lagged
+iteration window resident in VMEM while the K-slab pipeline streams through
+the cube once:
+
+    tile t (t = 0..T, one drain tile past the T input tiles):
+      W1_t = x1 (iteration n+1) rows [t*kt-2, (t+1)*kt-2)   in true K rows
+      W2_t = x2 (iteration n+2) rows [t*kt-4, (t+1)*kt-4)   (lag 2)
+
+x1 rows are carried 4-deep in VMEM between tiles, so W2_t's red-black pair
+has exactly the x1 neighborhood it needs.  Per PAIR of iterations: one read
+of x, one write of x — ~1 HBM pass per iteration, 2x the single-iteration
+speed-of-light.
+
+The per-row arithmetic is identical to sweeps.py's fused RB pair, so field
+values are bitwise-equal to two single sweeps (residual partial sums group
+differently — roundoff-level).  Constant coefficients, zero inner RHS only
+(the reference Laplace problem); other configurations use the
+single-iteration kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweeps import _masked_delta, _round_up, choose_kt
+
+
+def _masks(rows, Ip, Jp, K, I, J, k_start, offset):
+    """Like sweeps._iota_masks but safe for k_start down to -9."""
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + jnp.asarray(
+        k_start, jnp.int32
+    )
+    inner_k = (k1 >= 1) & (k1 <= K - 2)
+    ij_i = jax.lax.broadcasted_iota(jnp.int32, (1, Ip, Jp), 1)
+    ij_j = jax.lax.broadcasted_iota(jnp.int32, (1, Ip, Jp), 2)
+    inner_ij = (ij_i >= 1) & (ij_i <= I - 2) & (ij_j >= 1) & (ij_j <= J - 2)
+    inner = inner_k & inner_ij
+    two = jnp.asarray(2, jnp.int32)
+    kpar = jax.lax.rem(k1 + (offset + 11), two)  # +11 keeps the arg >= 0
+    ijpar = jax.lax.rem(ij_i + ij_j, two)
+    par = jax.lax.rem(kpar + ijpar, two)
+    return inner, par == 0, par == 1
+
+
+def _rb_pair(xfull, K, I, J, Ip, Jp, k0_ext, offset, omega, dtype):
+    """One full red-black iteration on ``xfull``: color 0 on the middle
+    rows (xfull[1:-1], first middle row has true K index ``k0_ext``), then
+    color 1 on the center of that.  Returns (x_new center rows,
+    r2_color0_center, r2_color1) — center = xfull rows [2, -2)."""
+    rows = xfull.shape[0] - 2
+    inner, c0, c1 = _masks(rows, Ip, Jp, K, I, J, k0_ext, offset)
+    x0, dp0 = _masked_delta(xfull, inner & c0, None, omega, dtype)
+    x1, dp1 = _masked_delta(x0, (inner & c1)[1:-1], None, omega, dtype)
+    dpc = dp0[1:-1].astype(jnp.float32)
+    dpf = dp1.astype(jnp.float32)
+    return x1, jnp.sum(dpc * dpc), jnp.sum(dpf * dpf)
+
+
+def _sweep2x_kernel(
+    xp_ref, out_ref, r2_ref,
+    xs, x1s, outs, in_sems, out_sems,
+    *, K, I, J, Ip, Jp, kt, omega, offset,
+):
+    t = pl.program_id(0)
+    T = K // kt  # input tiles; the grid runs T+1 steps to drain the lag
+    two = jnp.asarray(2, t.dtype)
+    slot = jax.lax.rem(t, two)
+    nslot = jax.lax.rem(t + 1, two)
+    dtype = xs.dtype
+    om = jnp.asarray(omega, dtype)
+
+    # x0 slab for tile t: rows s in [0, kt+4) hold true rows t*kt - 4 + s
+    # (padded-array rows t*kt - 2 + s); rows [0, 4) are carried over.
+    def in0_dma(s):  # tile 0: padded rows [0, kt+2) -> slab rows [2, kt+4)
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(0, kt + 2)], xs.at[s, pl.ds(2, kt + 2)],
+            in_sems.at[s],
+        )
+
+    def in_dma(s, idx):  # tiles 1..T-1: padded rows [idx*kt+2, +kt)
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * kt + 2, kt)], xs.at[s, pl.ds(4, kt)],
+            in_sems.at[s],
+        )
+
+    # x2 output buffer rows [0, kt) hold W2_t = padded rows [t*kt-2, +kt)
+    def out_dma0(s):  # tile 0: clip to padded rows [0, kt-2)
+        return pltpu.make_async_copy(
+            outs.at[s, pl.ds(2, kt - 2)], out_ref.at[pl.ds(0, kt - 2)],
+            out_sems.at[s],
+        )
+
+    def out_dma(s, idx):  # tiles 1..T-1: padded rows [idx*kt-2, +kt)
+        return pltpu.make_async_copy(
+            outs.at[s], out_ref.at[pl.ds(idx * kt - 2, kt)], out_sems.at[s]
+        )
+
+    def out_dmaT(s):  # drain tile: padded rows [K-2, K+4) (6 rows)
+        return pltpu.make_async_copy(
+            outs.at[s, pl.ds(0, 6)], out_ref.at[pl.ds(K - 2, 6)],
+            out_sems.at[s],
+        )
+
+    # ---- input pipeline ----------------------------------------------------
+    @pl.when(t == 0)
+    def _():
+        in0_dma(0).start()
+        in0_dma(0).wait()
+        # slab rows [0, 2) sit below the padded array; finite zeros
+        xs[0, 0:2] = jnp.zeros((2, Ip, Jp), dtype)
+
+    @pl.when((t > 0) & (t < T))
+    def _():
+        in_dma(slot, t).wait()
+
+    # carry the slab head from the previous slab's tail (same true rows),
+    # including into the drain tile (whose W1 window tops out the cube)
+    @pl.when((t > 0) & (slot == 0))
+    def _():
+        xs[0, 0:4] = xs[1, kt : kt + 4]
+
+    @pl.when((t > 0) & (slot == 1))
+    def _():
+        xs[1, 0:4] = xs[0, kt : kt + 4]
+
+    @pl.when((t + 1 < T) & (t > 0))
+    def _():
+        in_dma(nslot, t + 1).start()
+
+    if T > 1:
+        @pl.when(t == 0)
+        def _():
+            in_dma(nslot, 1).start()
+
+    # ---- iteration n+1 on W1_t ---------------------------------------------
+    # x1 buffer rows [0, 4) carry true rows [t*kt-6, t*kt-2);
+    # rows [4, kt+4) receive W1_t (true rows [t*kt-2, (t+1)*kt-2))
+    @pl.when(slot == 0)
+    def _():
+        x1s[0, 0:4] = x1s[1, kt : kt + 4]
+
+    @pl.when((slot == 1) & (t > 0))
+    def _():
+        x1s[1, 0:4] = x1s[0, kt : kt + 4]
+
+    xv = xs[slot]
+    x1_mid, r2a, r2b = _rb_pair(
+        xv, K, I, J, Ip, Jp, t * kt - 3, offset, om, dtype
+    )
+    x1s[slot, 4 : kt + 4] = x1_mid
+    r2_ref[t, 0] = r2a
+    r2_ref[t, 1] = r2b
+
+    # ---- iteration n+2 on W2_t (lag 2 rows) --------------------------------
+    # drain the out slot last used two tiles ago before overwriting it
+    @pl.when(t == 2)
+    def _():
+        out_dma0(slot).wait()
+
+    @pl.when(t > 2)
+    def _():
+        out_dma(slot, t - 2).wait()
+
+    x1v = x1s[slot]
+    x2_mid, r2c, r2d = _rb_pair(
+        x1v, K, I, J, Ip, Jp, t * kt - 5, offset, om, dtype
+    )
+    outs[slot] = x2_mid
+    r2_ref[t, 2] = r2c
+    r2_ref[t, 3] = r2d
+
+    @pl.when(t == 0)
+    def _():
+        out_dma0(0).start()
+
+    @pl.when((t > 0) & (t < T))
+    def _():
+        out_dma(slot, t).start()
+
+    # ---- drain tile --------------------------------------------------------
+    @pl.when(t == T)
+    def _():
+        out_dmaT(slot).start()
+        out_dmaT(slot).wait()
+
+    if T >= 2:
+        @pl.when(t == T)
+        def _():
+            out_dma(nslot, T - 1).wait()
+    else:
+        @pl.when(t == T)
+        def _():
+            out_dma0(nslot).wait()
+
+
+def make_fused_sweep2x(
+    shape,
+    dtype=jnp.float32,
+    *,
+    omega: float,
+    offset: int = 0,
+    kt: int | None = None,
+    vmem_limit_bytes: int = 100 << 20,
+    interpret: bool = False,
+):
+    """Build ``pair_step(xp, bp) -> (xp2, r2_pair)`` over pad_k2 state:
+    two full sor2sma iterations per call; r2_pair is a (2,) vector of the
+    two iterations' residual sums.  Constant coefficients, zero inner RHS
+    (bp accepted and ignored).  None if no viable tiling."""
+    K, I, J = shape
+    Ip, Jp = _round_up(I, 8), _round_up(J, 128)
+    itemsize = jnp.dtype(dtype).itemsize
+    if kt is None:
+        kt = choose_kt((K, Ip, Jp), itemsize, halo=8, kt_cap=32)
+    if kt is None or K % kt or kt < 8:
+        return None
+    T = K // kt
+
+    kern = functools.partial(
+        _sweep2x_kernel,
+        K=K, I=I, J=J, Ip=Ip, Jp=Jp, kt=kt,
+        omega=float(omega), offset=int(offset),
+    )
+
+    call = pl.pallas_call(
+        kern,
+        grid=(T + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((K + 4, Ip, Jp), dtype),
+            jax.ShapeDtypeStruct((T + 1, 4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, kt + 4, Ip, Jp), dtype),   # x0 slabs
+            pltpu.VMEM((2, kt + 4, Ip, Jp), dtype),   # x1 windows (+carry)
+            pltpu.VMEM((2, kt, Ip, Jp), dtype),       # x2 outputs
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 18 * K * I * J,
+            bytes_accessed=2 * K * Ip * Jp * itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )
+
+    def pair_step(xp, bp):
+        del bp
+        out, r2 = call(xp)
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        r2 = r2.astype(acc)
+        return out, jnp.stack(
+            [jnp.sum(r2[:, 0] + r2[:, 1]), jnp.sum(r2[:, 2] + r2[:, 3])]
+        )
+
+    pair_step.kt = kt
+    pair_step.iters_per_call = 2
+    return pair_step

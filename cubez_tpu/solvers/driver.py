@@ -92,6 +92,10 @@ def _run_loop_chunked(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
     loop.  Only the returned field x runs to the end of the stopping chunk
     (up to chunk-1 extra sweeps, which strictly continue the relaxation)."""
     rdt = _res_dtype()
+    # steps may run several iterations per call (temporally-blocked
+    # kernels, sweeps2x.py) and return an (ipc,) residual vector
+    ipc = getattr(step, "iters_per_call", 1)
+    chunk = max(ipc, -(-chunk // ipc) * ipc)
     nchunks = -(-itr_max // chunk)
     total = nchunks * chunk
     hist0 = jnp.zeros((total,), rdt)
@@ -104,7 +108,8 @@ def _run_loop_chunked(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
         x, r2 = step(x, b)
         if apply_bc is not None:
             x = apply_bc(x)
-        return x, r2.astype(rdt)
+        r2 = r2.astype(rdt)
+        return x, r2 if ipc > 1 else r2[None]
 
     def cond(state):
         _x, done, hist, hit = state
@@ -112,7 +117,8 @@ def _run_loop_chunked(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
 
     def body(state):
         x, done, hist, _hit = state
-        x, r2s = jax.lax.scan(sweep, x, None, length=chunk)
+        x, r2s = jax.lax.scan(sweep, x, None, length=chunk // ipc)
+        r2s = r2s.reshape(-1)
         hist = jax.lax.dynamic_update_slice(hist, r2s, (done,))
         return (x, done + chunk, hist, jnp.any(r2s < thresh))
 
@@ -157,6 +163,8 @@ def run_iterative(
     """
     if check_every is None:
         check_every = 16 if jax.default_backend() == "tpu" else 1
+    if getattr(step, "iters_per_call", 1) > 1:
+        check_every = max(check_every, 2)  # multi-iteration steps need chunks
     if check_every > 1:
         x, itr, res, hist = _run_loop_chunked(
             step, x0, b, float(res_normal), float(eps), int(itr_max),
@@ -174,10 +182,12 @@ def run_iterative(
 
 def fixed_sweeps(step, x, b, count: int):
     """``count`` sweeps without convergence checks — the preconditioner mode
-    (converge_check=false path of cz_Poisson.cpp:66,280)."""
+    (converge_check=false path of cz_Poisson.cpp:66,280).  Multi-iteration
+    steps (iters_per_call > 1) advance several sweeps per call."""
+    ipc = getattr(step, "iters_per_call", 1)
 
     def body(_, xx):
         xx, _r2 = step(xx, b)
         return xx
 
-    return jax.lax.fori_loop(0, count, body, x)
+    return jax.lax.fori_loop(0, -(-count // ipc), body, x)

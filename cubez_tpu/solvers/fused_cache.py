@@ -50,6 +50,20 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
             grid.shape_kij, grid.dtype, omega=omega, mc=mc,
             b_is_zero=b_is_zero, interpret=interpret,
         )
+    elif kind == "sor2sma" and b_is_zero and mc is None:
+        # temporally-blocked pair kernel: 2 iterations per HBM pass
+        from ..pallas_kernels import sweeps2x as fk2
+
+        step = fk2.make_fused_sweep2x(
+            grid.shape_kij, grid.dtype, omega=omega, interpret=interpret
+        )
+        if step is None:
+            from ..pallas_kernels import sweeps as fk
+
+            step = fk.make_fused_sweep(
+                kind, grid.shape_kij, grid.dtype, omega=omega, mc=mc,
+                b_is_zero=b_is_zero, interpret=interpret,
+            )
     else:
         from ..pallas_kernels import sweeps as fk
 

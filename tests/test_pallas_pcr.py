@@ -16,7 +16,10 @@ from cubez_tpu.solvers.steps import make_step
 def test_fused_pcr_matches_xla(kind, it):
     prob = Problem.poisson_cube(16, dtype=jnp.float32)
     shape = prob.grid.shape_kij
-    ref = jax.jit(make_step(prob, kind, omega=1.1))
+    # the fused 'pcr' kernel is the line-Jacobi full-plane pass, whose
+    # solver name is pcr_j_esa (plain 'pcr' is serial line-Gauss-Seidel)
+    ref = jax.jit(make_step(prob, "pcr_j_esa" if kind == "pcr" else kind,
+                            omega=1.1))
     xr, r2r = ref(prob.x0, prob.rhs)
     f = jax.jit(
         fpcr.make_fused_pcr_step(
@@ -31,7 +34,7 @@ def test_fused_pcr_matches_xla(kind, it):
 def test_fused_pcr_noncubic_and_b_zero():
     prob = Problem.poisson_cube((12, 16, 20), dtype=jnp.float32)
     shape = prob.grid.shape_kij  # (20, 12, 16)
-    ref = jax.jit(make_step(prob, "pcr", omega=1.0))
+    ref = jax.jit(make_step(prob, "pcr_j_esa", omega=1.0))
     xr, _ = ref(prob.x0, prob.rhs)
     f = jax.jit(
         fpcr.make_fused_pcr_step(
@@ -80,11 +83,34 @@ def test_build_tables_solves_line():
     np.testing.assert_allclose(x, ref, atol=1e-10)
 
 
-@pytest.mark.parametrize("kind,alias", [("pcr", "pcr_maf"), ("pcr_rb", "pcr_rb_maf")])
+def _maf_line_jacobi_step(prob):
+    """jnp MAF line-Jacobi reference (the pcr_j_esa form with variable
+    coefficients — no CLI name maps to it, so build it inline)."""
+    from cubez_tpu.ops import pcr as pcr_ops
+
+    g = prob.grid
+    kst, ked = 1, g.nk - 2
+    pn = pcr_ops.num_stage(ked - kst + 1)
+    msk_in = prob.msk[kst : ked + 1]
+
+    def step(x, b):
+        a, c, d = pcr_ops.build_line_system_maf(x, b, prob.msk, prob.mc,
+                                                kst, ked)
+        sol = pcr_ops.pcr_reduce_var(a, c, d, pn)
+        dp = (sol - x[kst : ked + 1]) * msk_in
+        return x.at[kst : ked + 1].add(dp), jnp.sum(dp * dp)
+
+    return step
+
+
+@pytest.mark.parametrize("kind,alias", [("pcr", None), ("pcr_rb", "pcr_rb_maf")])
 def test_fused_pcr_maf_matches_xla(kind, alias):
     prob = Problem.poisson_cube(16, dtype=jnp.float32, maf=True)
     shape = prob.grid.shape_kij
-    ref = jax.jit(make_step(prob, alias, omega=1.0))
+    ref = jax.jit(
+        _maf_line_jacobi_step(prob) if alias is None
+        else make_step(prob, alias, omega=1.0)
+    )
     xr, r2r = ref(prob.x0, prob.rhs)
     f = jax.jit(
         fpcr.make_fused_pcr_step(
