@@ -36,11 +36,46 @@ ITERS_SHORT, ITERS_LONG = 100, 600
 REPS = 5
 
 
+def _probe_device(timeout_s: int = 120) -> bool:
+    """True if the backend answers a trivial op within timeout_s.  The axon
+    TPU tunnel can wedge for hours (see .claude memory); without this guard
+    the bench would hang instead of reporting."""
+    import signal
+
+    def _alarm(signum, frame):
+        raise TimeoutError
+
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(timeout_s)
+    try:
+        jax.block_until_ready(jnp.ones((8, 8)).sum())
+        return True
+    except Exception:
+        return False
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def main():
     from cubez_tpu import Problem
     from cubez_tpu.perf.pmlib import device_hbm_gbps
     from cubez_tpu.solvers.driver import fixed_sweeps
     from cubez_tpu.solvers.steps import make_step
+
+    if not _probe_device():
+        print(
+            json.dumps(
+                {
+                    "metric": "cell-updates/s/chip (sor2sma 128^3 f32)",
+                    "value": 0,
+                    "unit": "Mcells/s",
+                    "vs_baseline": 0,
+                    "error": "device unreachable (tunnel wedged?)",
+                }
+            )
+        )
+        return
 
     prob = Problem.poisson_cube(N, dtype=jnp.float32)
     shape = prob.grid.shape_kij

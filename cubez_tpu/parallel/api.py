@@ -75,8 +75,9 @@ def solve_dist(
         return result
 
     line = kind in ("pcr", "pcr_rb")
+    on_tpu = jax.default_backend() == "tpu"
     use_fused = (
-        impl != "jnp"
+        (impl == "pallas" or (impl != "jnp" and on_tpu))
         and g.dtype == jnp.float32
         and kind in ("jacobi", "sor2sma", "pcr", "pcr_rb")
         and (not is_maf or line)  # MAF line solvers fuse per block too

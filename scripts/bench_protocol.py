@@ -42,6 +42,17 @@ CONFIGS = [
 ]
 
 
+def ref_iters(n, solver, omega, precond):
+    """Iteration count of the serial reference-semantics oracle for this
+    config, from the checked-in histories (tests/ref_histories)."""
+    name = solver if not precond else f"{solver}_{precond}"
+    f = (pathlib.Path(__file__).resolve().parent.parent / "tests" /
+         "ref_histories" / f"f32_{name}_{n}_w{omega}.txt")
+    if not f.exists():
+        return None
+    return len(f.read_text().splitlines()) - 1
+
+
 def run_one(label, n, solver, omega, precond, itr_max, rate_iters=0):
     maf = solver.endswith("_maf")
     prob = Problem.poisson_cube(n, dtype=jnp.float32, maf=maf)
@@ -90,8 +101,10 @@ def main():
         try:
             rows.append(run_one(*cfg))
             r = rows[-1]
+            r["ref"] = ref_iters(cfg[1], cfg[2], cfg[3], cfg[4])
             print(
-                f"{r['label']:<26} iters={r['iters']:<6} res={r['res']:.3e} "
+                f"{r['label']:<26} iters={r['iters']!s:<6} "
+                f"ref={r['ref']} res={r['res']:.3e} "
                 f"err={r['err']:.3e} wall={r['wall_s']:.2f}s "
                 f"{r['mcups']:.0f} Mcells/s",
                 flush=True,
@@ -104,15 +117,20 @@ def main():
         f.write("# BENCH_RESULTS — solve-to-tolerance protocol\n\n")
         f.write(f"Device: {kind} (backend {jax.default_backend()}), eps=1e-5, f32.\n")
         f.write("Timing covers the full convergent solve (compile excluded "
-                "via a warm-up solve).\n\n")
-        f.write("| config | iters | residual | err_max | wall [s] | Mcells/s |\n")
-        f.write("|---|---|---|---|---|---|\n")
+                "via a warm-up solve).  'ref iters' is the serial "
+                "reference-semantics oracle count from the checked-in "
+                "histories (tests/ref_histories/README.md).\n\n")
+        f.write("| config | iters | ref iters | residual | err_max | "
+                "wall [s] | Mcells/s |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
         for r in rows:
             if "error" in r:
-                f.write(f"| {r['label']} | FAILED: {r['error']} | | | | |\n")
+                f.write(f"| {r['label']} | FAILED: {r['error']} | | | | | |\n")
             else:
+                ref = r.get("ref")
                 f.write(
-                    f"| {r['label']} | {r['iters']} | {r['res']:.3e} | "
+                    f"| {r['label']} | {r['iters']} | "
+                    f"{'-' if ref is None else ref} | {r['res']:.3e} | "
                     f"{r['err']:.3e} | {r['wall_s']:.2f} | {r['mcups']:.0f} |\n"
                 )
     print(f"wrote {args.out}")
