@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .shifts import nbr6
 from .stencil import DD, nbr_sum
 
 

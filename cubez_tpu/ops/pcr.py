@@ -35,7 +35,6 @@ with the halo/boundary ends folded in:
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import jax.numpy as jnp
 import numpy as np

@@ -9,7 +9,6 @@ J (the lane axis) last, since J-halos are the cheapest relayouts on TPU.
 
 from __future__ import annotations
 
-import itertools
 import math
 
 

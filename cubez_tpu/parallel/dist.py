@@ -23,7 +23,6 @@ lines) and for hand-tuning.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -220,7 +219,6 @@ def _make_dist_maf_step(problem: Problem, cmesh: CubeMesh, kind: str, om):
     ones — the padded entries only reach discarded halo lanes) out of the
     replicated global tables using its mesh coordinates.
     """
-    import dataclasses
 
     from jax import lax
 

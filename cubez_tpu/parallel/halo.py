@@ -12,7 +12,6 @@ ghosts either — NOFACE=6, CB_Define_stub.h:31-35).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -9,7 +9,6 @@ planning works without allocating.
 
 from __future__ import annotations
 
-import math
 
 import jax.numpy as jnp
 

@@ -14,7 +14,6 @@ import dataclasses
 import time
 
 import jax
-import jax.numpy as jnp
 
 from ..core.problem import Problem
 from ..parallel.dist import make_dist_step

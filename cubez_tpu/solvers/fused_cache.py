@@ -12,7 +12,6 @@ MAF steps embed the metric tables; they are cached per MafCoeffs *object*
 
 from __future__ import annotations
 
-from typing import Optional
 
 _CACHE: dict = {}
 

@@ -17,7 +17,6 @@ step.  See _CANON below for the evidence.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax.numpy as jnp
 
