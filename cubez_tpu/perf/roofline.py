@@ -65,10 +65,17 @@ def sweep_cost(name: str, shape, itemsize: int = 4, b_is_zero: bool = False):
     if b_is_zero and f"{name}_b0" in COSTS:
         key = f"{name}_b0"
     if key not in COSTS and name.startswith("pcr"):
+        # MXU line kernels (pallas_kernels/lines.py): dense T^-1 matmul per
+        # line = 2n flop/pt (const) or 4n (MAF fast-diagonalization), both
+        # colors for the rb kinds; transverse build ~6-12 flop/pt.  HBM
+        # traffic stays read x + write x — the solve lives in VMEM/MXU.
         n = shape[0] - 2
-        per_pt = pcr_flops_per_pt(n)
+        per_pt = 6.0 + 2.0 * n
+        if name.startswith("pcr_rb"):
+            per_pt *= 2.0  # both red-black colors in one pass
+        if name.endswith("_maf"):
+            per_pt *= 2.0  # V and V^-1 matmuls
         npts = math.prod(shape)
-        # line solver ideal: read x, write x, stage traffic stays in VMEM
         return per_pt * npts, 3 * npts * itemsize
     c = COSTS[key]
     npts = math.prod(shape)
