@@ -10,7 +10,10 @@ roofline is the meaningful yardstick).  The SoL denominator is the *minimal*
 HBM traffic for one full RB iteration with zero RHS: one read + one write of
 the field (2 passes).  The temporally-blocked pair kernel (sweeps2x.py)
 amortizes that traffic over TWO iterations, so vs_baseline may legitimately
-exceed 1.0 — it beats the single-iteration speed-of-light.
+exceed 1.0 — it beats the single-iteration speed-of-light.  All viable
+kernels are timed and the fastest is reported (measured on v5e the sweep is
+VPU-bound, so the pair kernel's halved HBM traffic does not automatically
+win; hard-coding a preference mis-reported the headline in round 2).
 
 Timing methodology (hardened against remote-execution tunnels):
 * every timed call computes a scalar digest fetched to the host, so a
@@ -80,59 +83,52 @@ def main():
     prob = Problem.poisson_cube(N, dtype=jnp.float32)
     shape = prob.grid.shape_kij
 
-    step = None
-    kernel = "xla"
+    candidates = []  # (name, step, x0, b0) that pass a smoke run
     if jax.default_backend() == "tpu":
         from cubez_tpu.pallas_kernels import sweeps as fused
 
-        # temporally-blocked pair kernel first (2 iterations per HBM pass,
-        # sweeps2x.py), single-iteration fused kernel as fallback
-        candidates = []
-        try:
+        def _packed():
+            from cubez_tpu.pallas_kernels import rbpack
+
+            step = rbpack.make_packed_sweep(
+                shape, jnp.float32, omega=OMEGA, b_is_zero=True
+            )
+            return step
+
+        maybe = [
+            ("pallas-rbpack", _packed),
+            ("pallas-fused",
+             lambda: fused.make_fused_sweep(
+                 "sor2sma", shape, jnp.float32, omega=OMEGA, b_is_zero=True
+             )),
+        ]
+
+        def _2x():
             from cubez_tpu.pallas_kernels import sweeps2x
 
-            candidates.append(
-                ("pallas-fused-2x",
-                 sweeps2x.make_fused_sweep2x(shape, jnp.float32, omega=OMEGA))
-            )
-        except Exception:
-            pass
-        candidates.append(
-            ("pallas-fused",
-             fused.make_fused_sweep(
-                 "sor2sma", shape, jnp.float32, omega=OMEGA, b_is_zero=True
-             ))
-        )
-        for name, fstep in candidates:
-            if fstep is None:
-                continue
+            return sweeps2x.make_fused_sweep2x(shape, jnp.float32, omega=OMEGA)
+
+        maybe.append(("pallas-fused-2x", _2x))
+        for name, build in maybe:
             try:
-                # smoke-run one step before committing to the fused path
+                fstep = build()
+                if fstep is None:
+                    continue
+                pad = getattr(fstep, "pad", fused.pad_k2)
+                # smoke-run one step before admitting the fused path
                 # (fused-vs-XLA parity itself is covered by the test suite)
-                y, _ = jax.jit(fstep)(
-                    fused.pad_k2(prob.x0), fused.pad_k2(prob.rhs)
-                )
+                y, _ = jax.jit(fstep)(pad(prob.x0), pad(prob.rhs))
                 jax.block_until_ready(y)
-                step = fstep
-                x0 = fused.pad_k2(prob.x0)
-                b0 = fused.pad_k2(prob.rhs)
-                kernel = name
-                break
+                candidates.append((name, fstep, pad(prob.x0), pad(prob.rhs)))
             except Exception:
-                step = None
+                pass
 
-    if step is None:
-        step = make_step(prob, "sor2sma", omega=OMEGA)
-        x0, b0 = prob.x0, prob.rhs
+    if not candidates:
+        candidates = [
+            ("xla", make_step(prob, "sor2sma", omega=OMEGA), prob.x0, prob.rhs)
+        ]
 
-    key = jax.random.PRNGKey(0)
-    starts = [
-        x0 + jax.random.normal(k, x0.shape, x0.dtype)
-        for k in jax.random.split(key, REPS + 1)
-    ]
-    jax.block_until_ready(starts)
-
-    def timed(iters):
+    def timed(step, starts, b0, iters):
         run = jax.jit(
             lambda x, b, n=iters: jnp.sum(fixed_sweeps(step, x, b, n)[::7, ::5])
         )
@@ -145,7 +141,22 @@ def main():
         ts.sort()
         return ts[len(ts) // 2]  # median-of-REPS
 
-    per_iter = (timed(ITERS_LONG) - timed(ITERS_SHORT)) / (ITERS_LONG - ITERS_SHORT)
+    key = jax.random.PRNGKey(0)
+    best = None  # (per_iter, name)
+    for name, step, x0, b0 in candidates:
+        starts = [
+            x0 + jax.random.normal(k, x0.shape, x0.dtype)
+            for k in jax.random.split(key, REPS + 1)
+        ]
+        jax.block_until_ready(starts)
+        per = (
+            timed(step, starts, b0, ITERS_LONG)
+            - timed(step, starts, b0, ITERS_SHORT)
+        ) / (ITERS_LONG - ITERS_SHORT)
+        if best is None or per < best[0]:
+            best = (per, name)
+
+    per_iter, kernel = best
     cups = prob.grid.num_inner / per_iter
 
     # SoL: minimal traffic per RB iteration = read x + write x = 2 passes.

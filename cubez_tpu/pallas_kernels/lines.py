@@ -161,12 +161,14 @@ def _line_kernel(
                 w = jax.lax.dot_general(
                     Vi, d[r], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU
                 ).astype(dtype)
                 w = w / (mu[0] + lam_rows[r])
                 out.append(
                     jax.lax.dot_general(
                         V, w, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     ).astype(dtype)
                 )
             return jnp.stack(out)
@@ -203,11 +205,15 @@ def _line_kernel(
 
         def solve(d, lam_rows):
             Ti = m1_ref[:]  # (Kp, Kp) padded T^-1
+            # Precision.HIGHEST: the MXU's default f32 path truncates the
+            # operands to bf16 (measured 7.6e-3 solution error on v5e);
+            # HIGHEST selects the multi-pass true-f32 product
             return jnp.stack(
                 [
                     jax.lax.dot_general(
                         Ti, d[r], (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
                     ).astype(dtype)
                     for r in range(d.shape[0])
                 ]

@@ -1,0 +1,347 @@
+"""Packed red-black SOR sweep: dense per-color compute, no masked waste.
+
+The interleaved fused kernel (sweeps.py) computes a FULL-grid update for
+each color and throws half of it away under the color mask — measured on
+v5e the sweep is VPU-bound (jacobi's single dense pass: ~16 us/iter at
+128^3; sor2sma's two: ~29 us), so that masked waste is the whole gap to the
+HBM roofline.  This kernel stores the two colors **densely**: the
+checkerboard is folded along I, so each color is a (K, I/2, J) array with
+the full 128-lane J axis — every VPU op contributes.
+
+Layout ("rbpack"; same update math as psor2sma_core, cz_solver.f90:404-493)
+---------------------------------------------------------------------------
+Color-0 ("red") points satisfy (i+j+k+offset+1) % 2 == 0, i.e. for each
+(k, j) exactly one of the two rows {2*i2, 2*i2+1} is red:
+
+    R[k, i2, j] = x[k, 2*i2 + sR(k,j), j],   sR = (k+j+offset+1) % 2
+    B[k, i2, j] = x[k, 2*i2 + sB(k,j), j],   sB = 1 - sR
+
+R and B are stored concatenated along the row axis — packed shape
+(K+4, 2*I2p, Jp) with the same K-pad-by-2 scheme as sweeps.py — so the DMA
+pipeline is identical to the interleaved kernel's (one slab in, one out).
+
+Neighbor access becomes *cheap* in this layout (derivation):
+  * K-neighbors (k±1):  the packing parity flips with k AND with color, so
+    they cancel — plain row slices B[k±1, i2, j].
+  * J-neighbors (j±1):  parity flips with j and with color — lane rolls
+    B[k, i2, j±1].
+  * I-neighbors (i±1):  x[i-1] + x[i+1] = B[i2] + B[i2 - 1 + 2*sR], i.e.
+    the unshifted row plus ONE of the two sublane rolls, picked by the
+    (k+j) parity pattern — 2 rolls + 1 select instead of free, the only
+    extra cost of the packing.
+
+Per point the arithmetic (values and add order) is identical to
+sweeps._masked_delta, so field results are bitwise-equal to the interleaved
+kernel; only the residual partial-sum grouping differs (roundoff-level).
+
+Constant-coefficient only (the MAF metric tables are I/J-separable in the
+*interleaved* index, which the fold breaks; MAF stays on sweeps.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sweeps import R6, _roll, _round_up, choose_kt
+
+
+def _dims(shape):
+    K, I, J = shape
+    I2 = I // 2
+    return K, I, J, I2, _round_up(I2, 8), _round_up(J, 128)
+
+
+def pack_rb(a, offset: int = 0):
+    """(K, I, J) field -> packed (K+4, 2*I2p, Jp) red/black pair.
+
+    Red half at rows [0, I2p), black at [I2p, 2*I2p).  K is padded by 2 on
+    each side and I2/J are rounded up to the (8, 128) tile; pad positions
+    start zero and may decay to garbage — every kernel consumer masks on
+    true bounds (the sweeps.py contract).  Apply to x AND b (same
+    permutation).  I must be even.
+    """
+    K, I, J, I2, I2p, Jp = _dims(a.shape)
+    if I % 2:
+        raise ValueError("rbpack needs even I")
+    ap = jnp.pad(a, ((2, 2), (0, 0), (0, Jp - J)))
+    xe = ap[:, 0::2, :]
+    xo = ap[:, 1::2, :]
+    k = jnp.arange(K + 4, dtype=jnp.int32)[:, None, None] - 2
+    j = jnp.arange(Jp, dtype=jnp.int32)[None, None, :]
+    red_even = (k + j + offset + 1) % 2 == 0  # sR == 0: red on even i rows
+    R = jnp.where(red_even, xe, xo)
+    B = jnp.where(red_even, xo, xe)
+    padi = ((0, 0), (0, I2p - I2), (0, 0))
+    return jnp.concatenate([jnp.pad(R, padi), jnp.pad(B, padi)], axis=1)
+
+
+def unpack_rb(p, shape, offset: int = 0):
+    """Inverse of :func:`pack_rb` (true-extent rows/lanes only)."""
+    K, I, J, I2, I2p, Jp = _dims(shape)
+    R = p[2:-2, :I2, :J]
+    B = p[2:-2, I2p : I2p + I2, :J]
+    k = jnp.arange(K, dtype=jnp.int32)[:, None, None]
+    j = jnp.arange(J, dtype=jnp.int32)[None, None, :]
+    red_even = (k + j + offset + 1) % 2 == 0
+    xe = jnp.where(red_even, R, B)
+    xo = jnp.where(red_even, B, R)
+    return jnp.stack([xe, xo], axis=2).reshape(K, I, J)
+
+
+def _parity_masks(rows, k_start, offset, K, I2, J, I2p, Jp, color):
+    """(mask, sel_m1) for one color's dense update rows.
+
+    mask: (rows, I2p, Jp) — inner-domain nodes of this color;
+    sel_m1: (rows, 1, Jp) bool — True where the I-neighbor pair needs the
+    roll(-1) (downward) sublane shift, i.e. s == 1 for this color.
+    s_red = (k+j+offset+1) % 2, s_black = (k+j+offset) % 2; constants keep
+    the lax.rem argument non-negative (k_start >= -1, offset >= 0).
+    """
+    two = jnp.asarray(2, jnp.int32)
+    k1 = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + jnp.asarray(
+        k_start, jnp.int32
+    )
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Jp), 2)
+    add = (offset + 3) if color == 0 else (offset + 2)
+    s = jax.lax.rem(k1 + j1 + add, two)  # (rows, 1, Jp)
+    sel_m1 = s == 1
+    i2 = jax.lax.broadcasted_iota(jnp.int32, (1, I2p, 1), 1)
+    jv = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Jp), 2)
+    ok_k = (k1 >= 1) & (k1 <= K - 2)
+    ok_j = (jv >= 1) & (jv <= J - 2)
+    # physical i = 2*i2 + s: exclude i == 0 (i2==0, s==0), i == I-1
+    # (i2==I2-1, s==1) and the i2 tile-padding rows
+    not_lo = (i2 > 0) | sel_m1
+    not_hi = (i2 < I2 - 1) | ~sel_m1
+    mask = ok_k & ok_j & (i2 < I2) & not_lo & not_hi
+    return mask, sel_m1
+
+
+def _pair_update(center, other, b, mask, sel_m1, omega, dtype):
+    """Dense one-color update: ``other`` spans rows+1 halo each side of
+    ``center``'s rows.  Values and add order match sweeps._masked_delta
+    (ssk + ssi + ssj; x[i-1]+x[i+1] commuted — bitwise equal in IEEE)."""
+    oc = other[1:-1]
+    ssk = other[:-2] + other[2:]
+    ssi = oc + jnp.where(sel_m1, _roll(oc, -1, 1), _roll(oc, 1, 1))
+    ssj = _roll(oc, 1, 2) + _roll(oc, -1, 2)
+    ss = ssk + ssi + ssj
+    if b is None:
+        upd = (ss * R6 - center) * omega
+    else:
+        upd = ((ss - b) * R6 - center) * omega
+    dp = jnp.where(mask, upd, jnp.zeros((), dtype))
+    return center + dp, dp
+
+
+def _packed_kernel(
+    xp_ref, bp_ref, out_ref, r2_ref,
+    xs, bs, outs, in_sems, b_sems, out_sems,
+    *, K, I2, J, I2p, Jp, kt, omega, offset, b_is_zero
+):
+    """Same double-buffered K-slab pipeline as sweeps._sweep_kernel (slab
+    head carried in VMEM between tiles; 2-deep output pipeline)."""
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    two = jnp.asarray(2, t.dtype)
+    slot = jax.lax.rem(t, two)
+    nslot = jax.lax.rem(t + 1, two)
+    dtype = xs.dtype
+    halo = 4
+
+    def in_full_dma(s, idx):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * kt, kt + halo)], xs.at[s], in_sems.at[s]
+        )
+
+    def in_dma(s, idx):
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * kt + halo, kt)],
+            xs.at[s, pl.ds(halo, kt)],
+            in_sems.at[s],
+        )
+
+    def b_dma(s, idx):
+        return pltpu.make_async_copy(
+            bp_ref.at[pl.ds(idx * kt + 1, kt + 2)], bs.at[s], b_sems.at[s]
+        )
+
+    def out_dma(s, idx):
+        return pltpu.make_async_copy(
+            outs.at[s], out_ref.at[pl.ds(idx * kt + 2, kt)], out_sems.at[s]
+        )
+
+    @pl.when(t == 0)
+    def _():
+        in_full_dma(0, 0).start()
+        if not b_is_zero:
+            b_dma(0, 0).start()
+
+    @pl.when((t + 1 < T) & (t > 0))
+    def _():
+        if not b_is_zero:
+            b_dma(nslot, t + 1).start()
+
+    @pl.when(t == 0)
+    def _():
+        in_full_dma(0, 0).wait()
+
+    @pl.when(t > 0)
+    def _():
+        in_dma(slot, t).wait()
+
+    @pl.when((t > 0) & (slot == 0))
+    def _():
+        xs[0, 0:halo] = xs[1, kt : kt + halo]
+
+    @pl.when((t > 0) & (slot == 1))
+    def _():
+        xs[1, 0:halo] = xs[0, kt : kt + halo]
+
+    @pl.when(t + 1 < T)
+    def _():
+        in_dma(nslot, t + 1).start()
+
+    if T > 1:
+
+        @pl.when(t == 0)
+        def _():
+            if not b_is_zero:
+                b_dma(nslot, 1).start()
+
+    if not b_is_zero:
+        b_dma(slot, t).wait()
+
+    xv = xs[slot]  # (kt+4, 2*I2p, Jp), global K rows [k0-2, k0+kt+2)
+    Rv = xv[:, 0:I2p]
+    Bv = xv[:, I2p : 2 * I2p]
+    k0 = t * kt
+
+    # red pass on extended rows [k0-1, k0+kt] (kt+2) — the halo rows feed
+    # the black pass's K-neighbors, exactly like sweeps.py's color 0
+    mR, selR = _parity_masks(kt + 2, k0 - 1, offset, K, I2, J, I2p, Jp, 0)
+    if b_is_zero:
+        bR = bB = None
+    else:
+        bv = bs[slot]  # rows [k0-1, k0+kt]
+        bR = bv[:, 0:I2p]
+        bB = bv[1:-1, I2p : 2 * I2p]
+    Rn, dpR = _pair_update(Rv[1:-1], Bv, bR, mR, selR, omega, dtype)
+
+    # black pass on rows [k0, k0+kt) with the updated red as neighbors
+    mB, selB = _parity_masks(kt, k0, offset, K, I2, J, I2p, Jp, 1)
+    Bn, dpB = _pair_update(Bv[2:-2], Rn, bB, mB, selB, omega, dtype)
+
+    dpc = dpR[1:-1].astype(jnp.float32)
+    dbf = dpB.astype(jnp.float32)
+    r2 = jnp.sum(dpc * dpc) + jnp.sum(dbf * dbf)
+
+    @pl.when(t >= 2)
+    def _():
+        out_dma(slot, t - 2).wait()
+
+    outs[slot, :, 0:I2p] = Rn[1:-1]
+    outs[slot, :, I2p : 2 * I2p] = Bn
+    out_dma(slot, t).start()
+    r2_ref[t, 0] = r2
+
+    @pl.when(t == T - 1)
+    def _():
+        out_dma(slot, t).wait()
+
+    @pl.when((t == T - 1) & (t >= 1))
+    def _():
+        out_dma(nslot, t - 1).wait()
+
+
+def make_packed_sweep(
+    shape,
+    dtype=jnp.float32,
+    *,
+    omega: float,
+    offset: int = 0,
+    kt: int | None = None,
+    b_is_zero: bool = False,
+    vmem_limit_bytes: int = 100 << 20,
+    interpret: bool = False,
+):
+    """Build ``step(xp, bp) -> (xp_new, r2)`` over rbpack-layout arrays.
+
+    Returns None when the layout does not apply (odd I) or no viable K
+    tiling exists.  ``step.pad`` / ``step.unpad`` convert (K, I, J) fields
+    to/from the packed layout; apply ``pad`` to x and b alike.
+    """
+    K, I, J = shape
+    if I % 2:
+        return None
+    _, _, _, I2, I2p, Jp = _dims(shape)
+    IPP = 2 * I2p
+    itemsize = jnp.dtype(dtype).itemsize
+    if kt is None:
+        kt = choose_kt((K, IPP, Jp), itemsize, halo=4)
+    if kt is None or K % kt:
+        return None
+    T = K // kt
+
+    kern = functools.partial(
+        _packed_kernel,
+        K=K,
+        I2=I2,
+        J=J,
+        I2p=I2p,
+        Jp=Jp,
+        kt=kt,
+        omega=float(omega),
+        offset=int(offset),
+        b_is_zero=bool(b_is_zero),
+    )
+
+    bytes_touched = (2 if b_is_zero else 3) * K * IPP * Jp * itemsize
+    flops = 18 * K * I * J
+
+    call = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((K + 4, IPP, Jp), dtype),
+            jax.ShapeDtypeStruct((T, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, kt + 4, IPP, Jp), dtype),
+            pltpu.VMEM((2, (kt + 2) if not b_is_zero else 1, IPP, Jp), dtype),
+            pltpu.VMEM((2, kt, IPP, Jp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_touched, transcendentals=0
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )
+
+    def step(xp, bp):
+        out, r2 = call(xp, bp)
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return out, jnp.sum(r2.astype(acc))
+
+    step.kt = kt
+    step.pad = functools.partial(pack_rb, offset=offset)
+    step.unpad = functools.partial(unpack_rb, shape=shape, offset=offset)
+    return step

@@ -73,7 +73,7 @@ def profile_solve(problem, solver: str, omega: float, iters: int = 50,
                 jax.default_backend() != "tpu",
                 b_is_zero=problem.rhs_inner_zero,
             )
-            pad, _ = pad_unpad(k, g)
+            pad, _ = pad_unpad(k, g, step)
             x, b = pad(problem.x0), pad(problem.rhs)
         else:
             from ..solvers.fused_cache import get_jnp_step

@@ -81,7 +81,7 @@ def solve(
             kind, g, omega, problem.mc if is_maf else None, interpret,
             b_is_zero=problem.rhs_inner_zero,
         )
-        pad, unpad = pad_unpad(kind, g)
+        pad, unpad = pad_unpad(kind, g, step)
         if step is None:  # no viable tiling — fall back
             from .fused_cache import get_jnp_step
 

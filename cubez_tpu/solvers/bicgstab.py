@@ -77,7 +77,7 @@ def _fused_precon(problem: Problem, precond: str, omega: float, impl: str,
     from .fused_cache import get_fused_step, pad_unpad
 
     step = get_fused_step(kind, g, omega, None, interpret)
-    pad, unpad = pad_unpad(kind, g)
+    pad, unpad = pad_unpad(kind, g, step)
     if step is None:
         return None
 
@@ -204,11 +204,14 @@ def make_bicgstab(
         x, itr, res, hist, stop = run(
             x0, b, max(int(itr_max) - 1, 1), float(eps), float(res_normal)
         )
-        done = int(itr)  # iterations that completed (wrote a history row)
+        # one batched host transfer (separate int()/bool()/float() fetches
+        # each pay a full tunnel round-trip)
+        done, stop_v, res_v = jax.device_get((itr, stop, res))
+        done = int(done)  # iterations that completed (wrote a history row)
         # rho breakdown reports itr = 0 like the reference (cz_Poisson.cpp:381)
-        iters = 0 if bool(stop) else done
+        iters = 0 if bool(stop_v) else done
         return SolveResult(
-            x=x, iters=iters, res=float(res), history=np.asarray(hist)[:done]
+            x=x, iters=iters, res=float(res_v), history=hist[:done]
         )
 
     return solve

@@ -28,7 +28,11 @@ class SolveResult:
     x: jax.Array
     iters: int
     res: float
-    history: np.ndarray  # residual per iteration, length == iters
+    # residual per iteration, length == iters.  Left on device: a host
+    # round-trip over a remote-execution tunnel costs ~25 ms, so the
+    # transfer happens only when a consumer touches it (numpy's __array__
+    # protocol converts transparently).
+    history: "jax.Array | np.ndarray"
 
     def write_history(self, path):
         """History file with the reference's exact format
@@ -174,9 +178,12 @@ def run_iterative(
         x, itr, res, hist = _run_loop(
             step, x0, b, float(res_normal), float(eps), int(itr_max), apply_bc
         )
-    iters = int(itr)
+    # one batched host transfer for the scalars (separate int()/float()
+    # fetches each pay a full tunnel round-trip)
+    iters, res_v = jax.device_get((itr, res))
+    iters = int(iters)
     return SolveResult(
-        x=x, iters=iters, res=float(res), history=np.asarray(hist)[:iters]
+        x=x, iters=iters, res=float(res_v), history=hist[:iters]
     )
 
 

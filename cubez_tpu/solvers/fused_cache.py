@@ -49,12 +49,15 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
             grid.shape_kij, grid.dtype, omega=omega, mc=mc,
             b_is_zero=b_is_zero, interpret=interpret,
         )
-    elif kind == "sor2sma" and b_is_zero and mc is None:
-        # temporally-blocked pair kernel: 2 iterations per HBM pass
-        from ..pallas_kernels import sweeps2x as fk2
+    elif kind == "sor2sma" and mc is None:
+        # packed red-black layout: dense per-color compute (measured on v5e
+        # the sweep is VPU-bound, so rbpack's halved vector work beats both
+        # the interleaved kernel and sweeps2x's halved HBM traffic)
+        from ..pallas_kernels import rbpack
 
-        step = fk2.make_fused_sweep2x(
-            grid.shape_kij, grid.dtype, omega=omega, interpret=interpret
+        step = rbpack.make_packed_sweep(
+            grid.shape_kij, grid.dtype, omega=omega,
+            b_is_zero=b_is_zero, interpret=interpret,
         )
         if step is None:
             from ..pallas_kernels import sweeps as fk
@@ -108,8 +111,11 @@ def get_jnp_step(problem, solver: str, omega: float):
     return step
 
 
-def pad_unpad(kind: str, grid):
-    """(pad, unpad) converters for the kind's state layout."""
+def pad_unpad(kind: str, grid, step=None):
+    """(pad, unpad) converters for the kind's state layout.  A step that
+    carries its own layout (rbpack) exposes ``.pad`` / ``.unpad``."""
+    if step is not None and hasattr(step, "pad"):
+        return step.pad, step.unpad
     if kind in ("pcr", "pcr_rb"):
         from ..pallas_kernels import lines as fk
 

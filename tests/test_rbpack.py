@@ -1,0 +1,137 @@
+"""Packed red-black kernel (pallas_kernels/rbpack.py) vs the XLA path.
+
+Interpreter mode on the CPU test backend (conftest pins JAX_PLATFORMS=cpu);
+real-hardware validation happens in bench.py / scripts/bench_protocol.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cubez_tpu import Problem, solve
+from cubez_tpu.pallas_kernels import rbpack
+from cubez_tpu.pallas_kernels import sweeps as fused
+from cubez_tpu.solvers.steps import make_step
+
+
+def _mk(n):
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    return prob, prob.grid.shape_kij
+
+
+@pytest.mark.parametrize("offset", [0, 1])
+def test_pack_roundtrip(offset):
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (12, 10, 20), jnp.float32)
+    p = rbpack.pack_rb(x, offset=offset)
+    assert p.shape == (16, 2 * 8, 128)  # I2 = 5 -> I2p = 8
+    y = rbpack.unpack_rb(p, x.shape, offset=offset)
+    assert jnp.array_equal(x, y)
+
+
+@pytest.mark.parametrize("kt", [4, 8])
+def test_packed_matches_xla(kt):
+    prob, shape = _mk((12, 10, 16))
+    step_ref = jax.jit(make_step(prob, "sor2sma", omega=1.5))
+    step_p = rbpack.make_packed_sweep(
+        shape, jnp.float32, omega=1.5, kt=kt, interpret=True
+    )
+    assert step_p is not None
+    step_p = jax.jit(step_p)
+
+    xr, r2r = step_ref(prob.x0, prob.rhs)
+    xp, r2p = step_p(rbpack.pack_rb(prob.x0), rbpack.pack_rb(prob.rhs))
+    assert float(jnp.max(jnp.abs(rbpack.unpack_rb(xp, shape) - xr))) < 1e-6
+    assert abs(float(r2p) - float(r2r)) < 1e-5 * max(1.0, float(r2r))
+
+
+def test_packed_bitwise_matches_interleaved():
+    """Same values AND add order as the interleaved fused kernel — the
+    field must be bitwise equal after several sweeps."""
+    prob, shape = _mk(16)
+    step_i = jax.jit(
+        fused.make_fused_sweep(
+            "sor2sma", shape, jnp.float32, omega=1.5, kt=4, interpret=True
+        )
+    )
+    step_p = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.5, kt=4, interpret=True
+        )
+    )
+    xi, bi = fused.pad_k2(prob.x0), fused.pad_k2(prob.rhs)
+    xp, bp = rbpack.pack_rb(prob.x0), rbpack.pack_rb(prob.rhs)
+    for _ in range(3):
+        xi, _ = step_i(xi, bi)
+        xp, _ = step_p(xp, bp)
+    assert jnp.array_equal(
+        fused.unpad_k2(xi, shape), rbpack.unpack_rb(xp, shape)
+    )
+
+
+def test_packed_b_is_zero():
+    prob, shape = _mk(14)
+    step_ref = jax.jit(make_step(prob, "sor2sma", omega=1.2))
+    step_p = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.2, b_is_zero=True, interpret=True
+        )
+    )
+    xr, _ = step_ref(prob.x0, prob.rhs)
+    xp, _ = step_p(rbpack.pack_rb(prob.x0), rbpack.pack_rb(prob.rhs))
+    assert float(jnp.max(jnp.abs(rbpack.unpack_rb(xp, shape) - xr))) < 1e-6
+
+
+def test_packed_offset_matches_interleaved():
+    prob, shape = _mk(12)
+    step_i = jax.jit(
+        fused.make_fused_sweep(
+            "sor2sma", shape, jnp.float32, omega=1.5, kt=4, offset=1,
+            interpret=True,
+        )
+    )
+    step_p = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.5, kt=4, offset=1, interpret=True
+        )
+    )
+    xi, _ = step_i(fused.pad_k2(prob.x0), fused.pad_k2(prob.rhs))
+    xp, _ = step_p(
+        rbpack.pack_rb(prob.x0, offset=1), rbpack.pack_rb(prob.rhs, offset=1)
+    )
+    assert jnp.array_equal(
+        fused.unpad_k2(xi, shape), rbpack.unpack_rb(xp, shape, offset=1)
+    )
+
+
+def test_packed_pad_garbage_immunity():
+    """NaNs in the pad positions must never reach real nodes."""
+    prob, shape = _mk(12)
+    step_p = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.5, kt=4, interpret=True
+        )
+    )
+    xp = rbpack.pack_rb(prob.x0)
+    bp = rbpack.pack_rb(prob.rhs)
+    K, I, J = shape
+    I2p = rbpack._dims(shape)[4]
+    nan = jnp.float32(jnp.nan)
+    # poison K pads, i2 pads of both halves, and J pads
+    xp = xp.at[:2].set(nan).at[-2:].set(nan)
+    xp = xp.at[:, I // 2 : I2p].set(nan)
+    xp = xp.at[:, I2p + I // 2 :].set(nan)
+    xp = xp.at[:, :, J:].set(nan)
+    y, r2 = step_p(xp, bp)
+    out = rbpack.unpack_rb(y, shape)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert bool(jnp.isfinite(r2))
+
+
+def test_solve_uses_packed_and_matches_jnp():
+    prob = Problem.poisson_cube(16, dtype=jnp.float32)
+    r_jnp = solve(prob, "sor2sma", omega=1.5, itr_max=400, impl="jnp")
+    r_pal = solve(prob, "sor2sma", omega=1.5, itr_max=400, impl="pallas")
+    assert r_pal.iters == r_jnp.iters
+    assert abs(r_pal.res - r_jnp.res) < 1e-6 * max(1.0, r_jnp.res)
+    assert float(jnp.max(jnp.abs(r_pal.x - r_jnp.x))) < 5e-5
