@@ -27,6 +27,15 @@ Layout: (I+4, Kp, Jp) — I leading with halo 2 (DMA slabs of it+4 rows), K
 on sublanes (full lines resident), J on lanes.  The K boundary rows k=0 and
 k=K-1 carry the Dirichlet values and fold into the line RHS ends
 (cz_solver.f90:578-579); K tile-padding sublanes are masked everywhere.
+
+Precision (measured, do not revisit): the matmuls MUST run at
+lax.Precision.HIGHEST.  T^-1 of the Laplacian line has condition O(n^2)
+(~6.7e3 at n=126), which amplifies any operand quantization: DEFAULT (bf16)
+gives 7.6e-3 solution error, and a manual 3-pass bf16 hi/lo split (the
+Precision.HIGH scheme, which Pallas cannot lower) still measures 1.7e-3
+relative error at n=14 — growing with n^2, it stalls convergence well above
+eps.  Only the 6-pass true-f32 product keeps the fused solve exact enough;
+the MXU cost is already below the HBM floor at these shapes.
 """
 
 from __future__ import annotations

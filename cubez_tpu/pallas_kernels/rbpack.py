@@ -259,6 +259,85 @@ def _packed_kernel(
         out_dma(nslot, t - 1).wait()
 
 
+def _rb_pair_packed(xv, k0_mid, *, K, I2, J, I2p, Jp, offset, omega, dtype):
+    """One full RB iteration on a packed slab for the 2x pipeline
+    (sweeps2x._sweep2x_kernel contract): colors on the middle rows
+    (``xv[1:-1]``, first middle row true K index ``k0_mid``); returns
+    (center rows ``xv[2:-2]`` updated, r2_red_center, r2_black)."""
+    rows = xv.shape[0]
+    Rv = xv[:, 0:I2p]
+    Bv = xv[:, I2p : 2 * I2p]
+    mR, selR = _parity_masks(rows - 2, k0_mid, offset, K, I2, J, I2p, Jp, 0)
+    Rn, dpR = _pair_update(Rv[1:-1], Bv, None, mR, selR, omega, dtype)
+    mB, selB = _parity_masks(rows - 4, k0_mid + 1, offset, K, I2, J, I2p, Jp, 1)
+    Bn, dpB = _pair_update(Bv[2:-2], Rn, None, mB, selB, omega, dtype)
+    dpc = dpR[1:-1].astype(jnp.float32)
+    dbf = dpB.astype(jnp.float32)
+    return (
+        jnp.concatenate([Rn[1:-1], Bn], axis=1),
+        jnp.sum(dpc * dpc),
+        jnp.sum(dbf * dbf),
+    )
+
+
+def make_packed_sweep2x(
+    shape,
+    dtype=jnp.float32,
+    *,
+    omega: float,
+    offset: int = 0,
+    kt: int | None = None,
+    vmem_limit_bytes: int = 100 << 20,
+    interpret: bool = False,
+):
+    """Two full packed RB iterations per HBM pass (rbpack layout).
+
+    The packed single sweep is HBM-bound (the dense color compute fits
+    under the streaming), so temporal blocking pays here where it did not
+    for the VPU-bound interleaved kernel (sweeps2x): per PAIR of
+    iterations, one read + one write of the packed field.  Field values
+    are bitwise-equal to two single packed sweeps; r2 is a (2,) vector of
+    the two iterations' residual sums.  Zero inner RHS only.
+    """
+    from . import sweeps2x
+
+    K, I, J = shape
+    if I % 2:
+        return None
+    _, _, _, I2, I2p, Jp = _dims(shape)
+    IPP = 2 * I2p
+    itemsize = jnp.dtype(dtype).itemsize
+    if kt is None:
+        kt = choose_kt((K, IPP, Jp), itemsize, halo=8, kt_cap=32)
+    if kt is None or K % kt or kt < 8:
+        return None
+
+    pair_fn = functools.partial(
+        _rb_pair_packed, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
+        offset=int(offset), omega=float(omega), dtype=dtype,
+    )
+    call = sweeps2x.build_2x(
+        pair_fn, K, IPP, Jp, kt, dtype,
+        flops=2 * 18 * K * I * J,
+        vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
+    )
+
+    def pair_step(xp, bp):
+        del bp
+        out, r2 = call(xp)
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        r2 = r2.astype(acc)
+        return out, jnp.stack(
+            [jnp.sum(r2[:, 0] + r2[:, 1]), jnp.sum(r2[:, 2] + r2[:, 3])]
+        )
+
+    pair_step.kt = kt
+    pair_step.iters_per_call = 2
+    pair_step.pad = functools.partial(pack_rb, offset=offset)
+    pair_step.unpad = functools.partial(unpack_rb, shape=shape, offset=offset)
+    return pair_step
+
+
 def make_packed_sweep(
     shape,
     dtype=jnp.float32,

@@ -51,7 +51,7 @@ def _masks(rows, Ip, Jp, K, I, J, k_start, offset):
     return inner, par == 0, par == 1
 
 
-def _rb_pair(xfull, K, I, J, Ip, Jp, k0_ext, offset, omega, dtype):
+def _rb_pair(xfull, k0_ext, *, K, I, J, Ip, Jp, offset, omega, dtype):
     """One full red-black iteration on ``xfull``: color 0 on the middle
     rows (xfull[1:-1], first middle row has true K index ``k0_ext``), then
     color 1 on the center of that.  Returns (x_new center rows,
@@ -68,15 +68,21 @@ def _rb_pair(xfull, K, I, J, Ip, Jp, k0_ext, offset, omega, dtype):
 def _sweep2x_kernel(
     xp_ref, out_ref, r2_ref,
     xs, x1s, outs, in_sems, out_sems,
-    *, K, I, J, Ip, Jp, kt, omega, offset,
+    *, K, IP, Jp, kt, pair_fn,
 ):
+    """Generic two-iterations-per-pass pipeline over (rows, IP, Jp) slabs.
+
+    ``pair_fn(xv, k0_mid) -> (x_center, r2_color0, r2_color1)`` runs one
+    full RB iteration on slab ``xv``: colors on the middle rows
+    (``xv[1:-1]``, first middle row has true K index ``k0_mid``), returning
+    the center rows ``xv[2:-2]`` updated.  Interleaved layout uses
+    _rb_pair; the packed layout (rbpack.py) plugs in its dense pair."""
     t = pl.program_id(0)
     T = K // kt  # input tiles; the grid runs T+1 steps to drain the lag
     two = jnp.asarray(2, t.dtype)
     slot = jax.lax.rem(t, two)
     nslot = jax.lax.rem(t + 1, two)
     dtype = xs.dtype
-    om = jnp.asarray(omega, dtype)
 
     # x0 slab for tile t: rows s in [0, kt+4) hold true rows t*kt - 4 + s
     # (padded-array rows t*kt - 2 + s); rows [0, 4) are carried over.
@@ -116,7 +122,7 @@ def _sweep2x_kernel(
         in0_dma(0).start()
         in0_dma(0).wait()
         # slab rows [0, 2) sit below the padded array; finite zeros
-        xs[0, 0:2] = jnp.zeros((2, Ip, Jp), dtype)
+        xs[0, 0:2] = jnp.zeros((2, IP, Jp), dtype)
 
     @pl.when((t > 0) & (t < T))
     def _():
@@ -153,9 +159,7 @@ def _sweep2x_kernel(
         x1s[1, 0:4] = x1s[0, kt : kt + 4]
 
     xv = xs[slot]
-    x1_mid, r2a, r2b = _rb_pair(
-        xv, K, I, J, Ip, Jp, t * kt - 3, offset, om, dtype
-    )
+    x1_mid, r2a, r2b = pair_fn(xv, t * kt - 3)
     x1s[slot, 4 : kt + 4] = x1_mid
     r2_ref[t, 0] = r2a
     r2_ref[t, 1] = r2b
@@ -171,9 +175,7 @@ def _sweep2x_kernel(
         out_dma(slot, t - 2).wait()
 
     x1v = x1s[slot]
-    x2_mid, r2c, r2d = _rb_pair(
-        x1v, K, I, J, Ip, Jp, t * kt - 5, offset, om, dtype
-    )
+    x2_mid, r2c, r2d = pair_fn(x1v, t * kt - 5)
     outs[slot] = x2_mid
     r2_ref[t, 2] = r2c
     r2_ref[t, 3] = r2d
@@ -202,6 +204,46 @@ def _sweep2x_kernel(
             out_dma0(nslot).wait()
 
 
+def build_2x(pair_fn, K, IP, Jp, kt, dtype, *, flops, vmem_limit_bytes,
+             interpret):
+    """pallas_call for the two-iterations-per-pass pipeline over
+    (K+4, IP, Jp) state; shared by the interleaved and packed layouts."""
+    itemsize = jnp.dtype(dtype).itemsize
+    T = K // kt
+    kern = functools.partial(
+        _sweep2x_kernel, K=K, IP=IP, Jp=Jp, kt=kt, pair_fn=pair_fn
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(T + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((K + 4, IP, Jp), dtype),
+            jax.ShapeDtypeStruct((T + 1, 4), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, kt + 4, IP, Jp), dtype),   # x0 slabs
+            pltpu.VMEM((2, kt + 4, IP, Jp), dtype),   # x1 windows (+carry)
+            pltpu.VMEM((2, kt, IP, Jp), dtype),       # x2 outputs
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * K * IP * Jp * itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        interpret=interpret,
+    )
+
+
 def make_fused_sweep2x(
     shape,
     dtype=jnp.float32,
@@ -225,40 +267,14 @@ def make_fused_sweep2x(
         return None
     T = K // kt
 
-    kern = functools.partial(
-        _sweep2x_kernel,
-        K=K, I=I, J=J, Ip=Ip, Jp=Jp, kt=kt,
-        omega=float(omega), offset=int(offset),
+    pair_fn = functools.partial(
+        _rb_pair, K=K, I=I, J=J, Ip=Ip, Jp=Jp, offset=int(offset),
+        omega=float(omega), dtype=dtype,
     )
-
-    call = pl.pallas_call(
-        kern,
-        grid=(T + 1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((K + 4, Ip, Jp), dtype),
-            jax.ShapeDtypeStruct((T + 1, 4), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, kt + 4, Ip, Jp), dtype),   # x0 slabs
-            pltpu.VMEM((2, kt + 4, Ip, Jp), dtype),   # x1 windows (+carry)
-            pltpu.VMEM((2, kt, Ip, Jp), dtype),       # x2 outputs
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 18 * K * I * J,
-            bytes_accessed=2 * K * Ip * Jp * itemsize,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_bytes,
-        ),
-        interpret=interpret,
+    call = build_2x(
+        pair_fn, K, Ip, Jp, kt, dtype,
+        flops=2 * 18 * K * I * J,
+        vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
     )
 
     def pair_step(xp, bp):

@@ -81,7 +81,6 @@ def solve(
             kind, g, omega, problem.mc if is_maf else None, interpret,
             b_is_zero=problem.rhs_inner_zero,
         )
-        pad, unpad = pad_unpad(kind, g, step)
         if step is None:  # no viable tiling — fall back
             from .fused_cache import get_jnp_step
 
@@ -91,11 +90,16 @@ def solve(
                 check_every=check_every,
             )
         else:
+            # the layout converters fold into the loop executable (one
+            # dispatch per solve); attach once so the jit static key is a
+            # stable identity across solves
+            if not hasattr(step, "_pre"):
+                step._pre, step._post = pad_unpad(kind, g, step)
             result = run_iterative(
-                step, pad(problem.x0), pad(problem.rhs), g.res_normal,
+                step, problem.x0, problem.rhs, g.res_normal,
                 itr_max, eps, check_every=check_every,
+                pre=step._pre, post=step._post,
             )
-            result = dataclasses.replace(result, x=unpad(result.x))
     else:
         from .fused_cache import get_jnp_step
 

@@ -46,12 +46,21 @@ def _res_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-@partial(jax.jit, static_argnames=("step", "itr_max", "apply_bc"))
-def _run_loop(step, x0, b, res_normal, eps, itr_max: int, apply_bc):
+@partial(jax.jit, static_argnames=("step", "itr_max", "apply_bc", "pre", "post"))
+def _run_loop(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
+              pre=None, post=None):
     """On-device iteration loop.  The per-iteration bookkeeping is minimal:
     the raw sum(dp^2) is compared against eps^2/res_normal (sqrt is
     monotone, so the stopping decision is the same) and the history stores
-    r2; the caller converts to residuals once after the loop."""
+    r2; the caller converts to residuals once after the loop.
+
+    ``pre``/``post`` fold the step's state-layout converters into this one
+    executable (pad x0 and b, unpad the returned field): over a remote
+    tunnel every separate dispatch costs milliseconds, so the whole solve
+    must be a single call.  They are static — pass stable callables."""
+    if pre is not None:
+        x0 = pre(x0)
+        b = pre(b)
     rdt = _res_dtype()
     hist0 = jnp.zeros((itr_max,), rdt)
     # res >= eps  <=>  r2 >= eps^2 / res_normal
@@ -79,12 +88,15 @@ def _run_loop(step, x0, b, res_normal, eps, itr_max: int, apply_bc):
     x, itr, r2, hist = jax.lax.while_loop(cond, body, state)
     res_hist = jnp.sqrt(hist * jnp.asarray(res_normal, rdt))
     res = jnp.sqrt(r2 * jnp.asarray(res_normal, rdt))
+    if post is not None:
+        x = post(x)
     return x, itr, res, res_hist
 
 
-@partial(jax.jit, static_argnames=("step", "itr_max", "apply_bc", "chunk"))
+@partial(jax.jit, static_argnames=("step", "itr_max", "apply_bc", "chunk",
+                                   "pre", "post"))
 def _run_loop_chunked(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
-                      chunk: int):
+                      chunk: int, pre=None, post=None):
     """Chunked iteration loop: ``chunk`` sweeps run back-to-back in a
     ``lax.scan`` (no inter-iteration control dependency, so consecutive
     sweep kernels pipeline on the TPU), then one convergence check per
@@ -95,6 +107,9 @@ def _run_loop_chunked(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
     iteration is recovered from the recorded per-sweep residuals after the
     loop.  Only the returned field x runs to the end of the stopping chunk
     (up to chunk-1 extra sweeps, which strictly continue the relaxation)."""
+    if pre is not None:
+        x0 = pre(x0)
+        b = pre(b)
     rdt = _res_dtype()
     # steps may run several iterations per call (temporally-blocked
     # kernels, sweeps2x.py) and return an (ipc,) residual vector
@@ -139,6 +154,8 @@ def _run_loop_chunked(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
     )
     res_hist = jnp.sqrt(hist * jnp.asarray(res_normal, rdt))
     res = res_hist[jnp.maximum(itr - 1, 0)]
+    if post is not None:
+        x = post(x)
     return x, itr, res, res_hist
 
 
@@ -151,6 +168,8 @@ def run_iterative(
     eps: float = EPS_DEFAULT,
     apply_bc=None,
     check_every: int | None = None,
+    pre=None,
+    post=None,
 ) -> SolveResult:
     """Run a relaxation/line solver to convergence.
 
@@ -172,11 +191,12 @@ def run_iterative(
     if check_every > 1:
         x, itr, res, hist = _run_loop_chunked(
             step, x0, b, float(res_normal), float(eps), int(itr_max),
-            apply_bc, int(check_every),
+            apply_bc, int(check_every), pre, post,
         )
     else:
         x, itr, res, hist = _run_loop(
-            step, x0, b, float(res_normal), float(eps), int(itr_max), apply_bc
+            step, x0, b, float(res_normal), float(eps), int(itr_max),
+            apply_bc, pre, post,
         )
     # one batched host transfer for the scalars (separate int()/float()
     # fetches each pay a full tunnel round-trip)

@@ -52,13 +52,21 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
     elif kind == "sor2sma" and mc is None:
         # packed red-black layout: dense per-color compute (measured on v5e
         # the sweep is VPU-bound, so rbpack's halved vector work beats both
-        # the interleaved kernel and sweeps2x's halved HBM traffic)
+        # the interleaved kernel and sweeps2x's halved HBM traffic).  The
+        # packed single sweep is HBM-bound, so the temporally-blocked
+        # packed pair (two iterations per HBM pass) goes first.
         from ..pallas_kernels import rbpack
 
-        step = rbpack.make_packed_sweep(
-            grid.shape_kij, grid.dtype, omega=omega,
-            b_is_zero=b_is_zero, interpret=interpret,
-        )
+        step = None
+        if b_is_zero:
+            step = rbpack.make_packed_sweep2x(
+                grid.shape_kij, grid.dtype, omega=omega, interpret=interpret
+            )
+        if step is None:
+            step = rbpack.make_packed_sweep(
+                grid.shape_kij, grid.dtype, omega=omega,
+                b_is_zero=b_is_zero, interpret=interpret,
+            )
         if step is None:
             from ..pallas_kernels import sweeps as fk
 

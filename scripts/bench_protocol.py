@@ -38,6 +38,7 @@ CONFIGS = [
     ("pbicgstab+sor2sma 64^3", 64, "pbicgstab", 1.1, "sor2sma", 4000),
     ("pbicgstab+sor2sma 128^3", 128, "pbicgstab", 1.1, "sor2sma", 4000),
     ("pbicgstab+sor2sma 256^3", 256, "pbicgstab", 1.1, "sor2sma", 4000),
+    ("sor2sma 256^3", 256, "sor2sma", 1.5, None, 20000),
     ("sor2sma 512^3", 512, "sor2sma", 1.5, None, 40000),
 ]
 
@@ -71,14 +72,33 @@ def run_one(label, n, solver, omega, precond, itr_max, rate_iters=0):
             "err": float("nan"), "wall_s": dt, "mcups": cups / 1e6,
         }
     # warm-up compiles the exact executable: same static itr_max, but a
-    # trivially-satisfied eps stops it after one iteration
+    # trivially-satisfied eps stops it after one iteration/chunk
     solve(prob, solver, omega=omega, itr_max=itr_max, precond=precond, eps=1e9)
-    t0 = time.perf_counter()
-    r = solve(prob, solver, omega=omega, itr_max=itr_max, precond=precond)
-    jax.block_until_ready(r.x)
-    dt = time.perf_counter() - t0
+    # median-of-3: the first post-compile execution through the tunnel can
+    # pay a ~0.5 s one-off cost that is not solver time
+    walls, base = [], []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = solve(prob, solver, omega=omega, itr_max=itr_max, precond=precond)
+        jax.block_until_ready(r.x)
+        walls.append(time.perf_counter() - t0)
+        # same executable, trivially-satisfied eps: one chunk of iterations
+        # plus the full fixed per-solve cost (dispatch + tunnel round-trips)
+        t0 = time.perf_counter()
+        r0 = solve(prob, solver, omega=omega, itr_max=itr_max,
+                   precond=precond, eps=1e9)
+        jax.block_until_ready(r0.x)
+        base.append((time.perf_counter() - t0, r0.iters))
+    walls.sort()
+    base.sort()
+    dt = walls[1]
+    dt0, it0 = base[1]
     err = max_error(prob.grid, r.x)
     cups = prob.grid.num_inner * r.iters / dt
+    # net loop rate: fixed per-solve cost cancelled by differencing
+    net = None
+    if r.iters > it0 and dt > dt0:
+        net = prob.grid.num_inner * (r.iters - it0) / (dt - dt0)
     return {
         "label": label,
         "iters": r.iters,
@@ -86,6 +106,7 @@ def run_one(label, n, solver, omega, precond, itr_max, rate_iters=0):
         "err": err,
         "wall_s": dt,
         "mcups": cups / 1e6,
+        "net_mcups": None if net is None else net / 1e6,
     }
 
 
@@ -102,11 +123,13 @@ def main():
             rows.append(run_one(*cfg))
             r = rows[-1]
             r["ref"] = ref_iters(cfg[1], cfg[2], cfg[3], cfg[4])
+            net = r.get("net_mcups")
             print(
                 f"{r['label']:<26} iters={r['iters']!s:<6} "
                 f"ref={r['ref']} res={r['res']:.3e} "
                 f"err={r['err']:.3e} wall={r['wall_s']:.2f}s "
-                f"{r['mcups']:.0f} Mcells/s",
+                f"{r['mcups']:.0f} Mcells/s"
+                + ("" if net is None else f" (loop {net:.0f})"),
                 flush=True,
             )
         except Exception as e:  # keep going; report the failure
@@ -119,19 +142,26 @@ def main():
         f.write("Timing covers the full convergent solve (compile excluded "
                 "via a warm-up solve).  'ref iters' is the serial "
                 "reference-semantics oracle count from the checked-in "
-                "histories (tests/ref_histories/README.md).\n\n")
+                "histories (tests/ref_histories/README.md).  'loop Mcells/s' "
+                "is the on-device convergence-loop rate with the fixed "
+                "per-solve cost (dispatch + remote-tunnel round-trips, "
+                "~0.1 s/solve here) cancelled by differencing against a "
+                "one-chunk solve of the same executable — the number a local "
+                "(non-tunneled) host would see end-to-end.\n\n")
         f.write("| config | iters | ref iters | residual | err_max | "
-                "wall [s] | Mcells/s |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
+                "wall [s] | Mcells/s | loop Mcells/s |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             if "error" in r:
-                f.write(f"| {r['label']} | FAILED: {r['error']} | | | | | |\n")
+                f.write(f"| {r['label']} | FAILED: {r['error']} | | | | | | |\n")
             else:
                 ref = r.get("ref")
+                net = r.get("net_mcups")
                 f.write(
                     f"| {r['label']} | {r['iters']} | "
                     f"{'-' if ref is None else ref} | {r['res']:.3e} | "
-                    f"{r['err']:.3e} | {r['wall_s']:.2f} | {r['mcups']:.0f} |\n"
+                    f"{r['err']:.3e} | {r['wall_s']:.2f} | {r['mcups']:.0f} | "
+                    f"{'-' if net is None else f'{net:.0f}'} |\n"
                 )
     print(f"wrote {args.out}")
 

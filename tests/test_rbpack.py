@@ -128,6 +128,35 @@ def test_packed_pad_garbage_immunity():
     assert bool(jnp.isfinite(r2))
 
 
+def test_packed_pair_bitwise_two_singles():
+    """The temporally-blocked packed pair must equal two single packed
+    sweeps bitwise (field) and in residuals (roundoff grouping only)."""
+    prob, shape = _mk(16)
+    one = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.5, kt=8, b_is_zero=True,
+            interpret=True,
+        )
+    )
+    two = rbpack.make_packed_sweep2x(
+        shape, jnp.float32, omega=1.5, kt=8, interpret=True
+    )
+    assert two is not None and two.iters_per_call == 2
+    two = jax.jit(two)
+    xp = rbpack.pack_rb(prob.x0)
+    bp = rbpack.pack_rb(prob.rhs)
+    key = jax.random.PRNGKey(11)
+    xp = xp + 0.1 * jax.random.normal(key, xp.shape, jnp.float32)
+    x1, r2a = one(xp, bp)
+    x2, r2b = one(x1, bp)
+    xpair, r2pair = two(xp, bp)
+    assert jnp.array_equal(
+        rbpack.unpack_rb(x2, shape), rbpack.unpack_rb(xpair, shape)
+    )
+    assert abs(float(r2pair[0]) - float(r2a)) < 1e-5 * max(1.0, float(r2a))
+    assert abs(float(r2pair[1]) - float(r2b)) < 1e-5 * max(1.0, float(r2b))
+
+
 def test_solve_uses_packed_and_matches_jnp():
     prob = Problem.poisson_cube(16, dtype=jnp.float32)
     r_jnp = solve(prob, "sor2sma", omega=1.5, itr_max=400, impl="jnp")
