@@ -309,6 +309,16 @@ def make_packed_sweep2x(
     itemsize = jnp.dtype(dtype).itemsize
     if kt is None:
         kt = choose_kt((K, IPP, Jp), itemsize, halo=8, kt_cap=32)
+        if (kt is None or kt < 8) and K % 8 == 0:
+            # Large grids: two iterations per HBM pass is worth the whole
+            # VMEM budget (measured 512^3 on v5e: 131 vs 79 Gcells/s for
+            # the single packed sweep).  kt=8 scratch is 2*(kt+4) x0 +
+            # 2*(kt+4) x1 + 2*kt out rows plus pair-update temporaries
+            # (~6*(kt+2) rows); admit it when that fits a raised limit.
+            row = IPP * Jp * itemsize
+            if (6 * 8 + 16 + 6 * 10) * row <= (112 << 20):
+                kt = 8
+                vmem_limit_bytes = max(vmem_limit_bytes, 116 << 20)
     if kt is None or K % kt or kt < 8:
         return None
 
@@ -412,6 +422,10 @@ def make_packed_sweep(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
         ),
+        # In-place update (see sweeps.py): writes trail reads by >= 2 rows,
+        # every row is read exactly once before its write.  Measured ~1.6x
+        # faster HBM streaming + VMEM residency up to ~2x larger grids.
+        input_output_aliases={0: 0},
         interpret=interpret,
     )
 

@@ -240,6 +240,10 @@ def build_2x(pair_fn, K, IP, Jp, kt, dtype, *, flops, vmem_limit_bytes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
         ),
+        # In-place update (see sweeps.py): the x2 write for tile t covers
+        # padded rows [t*kt-2, t*kt+kt-2) — a 4-row lag behind the input
+        # pipeline, whose furthest outstanding read starts at (t+1)*kt+2.
+        input_output_aliases={0: 0},
         interpret=interpret,
     )
 
