@@ -315,8 +315,11 @@ def make_packed_sweep2x(
             # the single packed sweep).  kt=8 scratch is 2*(kt+4) x0 +
             # 2*(kt+4) x1 + 2*kt out rows plus pair-update temporaries
             # (~6*(kt+2) rows); admit it when that fits a raised limit.
+            # real DMA scratch is (6*kt+16) rows; Mosaic's pair-update
+            # temporaries fit inside the raised 116 MB limit on top of it
+            # (measured at 512^3: kt=8 compiles and runs at 131 Gcells/s)
             row = IPP * Jp * itemsize
-            if (6 * 8 + 16 + 6 * 10) * row <= (112 << 20):
+            if (6 * 8 + 16) * row <= (80 << 20):
                 kt = 8
                 vmem_limit_bytes = max(vmem_limit_bytes, 116 << 20)
     if kt is None or K % kt or kt < 8:
