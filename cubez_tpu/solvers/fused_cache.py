@@ -40,15 +40,27 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
         return ent[1]
 
     if kind in ("pcr", "pcr_rb"):
-        # MXU line solvers (matmul / fast-diagonalization, lines.py);
-        # the PCR-stage kernels remain in pallas_kernels/pcr.py
-        from ..pallas_kernels import lines as fk
+        # MXU line solvers (matmul / fast-diagonalization).  pcr_rb prefers
+        # the color-packed layout (rblines.py): each color's dense solve
+        # covers only its own lines, halving the MXU work of the masked
+        # full-plane form in lines.py.  The PCR-stage kernels remain in
+        # pallas_kernels/pcr.py.
+        step = None
+        if kind == "pcr_rb":
+            from ..pallas_kernels import rblines
 
-        step = fk.make_line_step(
-            "pcr_j" if kind == "pcr" else "pcr_rb",
-            grid.shape_kij, grid.dtype, omega=omega, mc=mc,
-            b_is_zero=b_is_zero, interpret=interpret,
-        )
+            step = rblines.make_rbl_step(
+                grid.shape_kij, grid.dtype, omega=omega, mc=mc,
+                b_is_zero=b_is_zero, interpret=interpret,
+            )
+        if step is None:
+            from ..pallas_kernels import lines as fk
+
+            step = fk.make_line_step(
+                "pcr_j" if kind == "pcr" else "pcr_rb",
+                grid.shape_kij, grid.dtype, omega=omega, mc=mc,
+                b_is_zero=b_is_zero, interpret=interpret,
+            )
     elif kind == "sor2sma" and mc is None:
         # packed red-black layout: dense per-color compute (measured on v5e
         # the sweep is VPU-bound, so rbpack's halved vector work beats both
