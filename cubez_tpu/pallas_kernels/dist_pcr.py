@@ -80,9 +80,13 @@ def _dist_pcr_kernel(
             outs.at[s], out_ref.at[pl.ds(idx * it + 1, it)], out_sems.at[s]
         )
 
+    # in-place pipeline (see lines.py): tile t+1's first input row overlaps
+    # out_dma(t)'s write range, so the next tile's in-DMA is awaited before
+    # this tile's in-place out-DMA starts (hazard fence below)
     @pl.when(t == 0)
     def _():
         in_dma(0, 0).start()
+        in_dma(0, 0).wait()
         if not b_is_zero:
             b_dma(0, 0).start()
         r2_ref[0, 0] = jnp.zeros((), jnp.float32)
@@ -93,7 +97,6 @@ def _dist_pcr_kernel(
         if not b_is_zero:
             b_dma(nslot, t + 1).start()
 
-    in_dma(slot, t).wait()
     if not b_is_zero:
         b_dma(slot, t).wait()
 
@@ -174,6 +177,12 @@ def _dist_pcr_kernel(
 
     upd = m if color is None else m & (par == color)
     dp = jnp.where(upd, (sol - xline) * omega, zero)
+
+    # aliasing hazard fence: the next tile's input rows must be in VMEM
+    # before the in-place write begins
+    @pl.when(t + 1 < T)
+    def _():
+        in_dma(nslot, t + 1).wait()
 
     @pl.when(t >= 2)
     def _():
@@ -286,6 +295,8 @@ def make_block_pcr(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
         ),
+        # in-place block update (input 1 = xp): safe via the hazard fence
+        input_output_aliases={1: 0},
         interpret=interpret,
     )
 

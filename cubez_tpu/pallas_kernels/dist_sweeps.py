@@ -124,9 +124,14 @@ def _block_kernel(
             outs.at[s], out_ref.at[pl.ds(idx * kt + 2, kt)], out_sems.at[s]
         )
 
+    # in-place pipeline (see lines.py): tile t+1's input rows overlap
+    # out_dma(t)'s write range by 1-2 pre-update halo rows, so the next
+    # tile's in-DMA is awaited before this tile's in-place out-DMA starts
+    # (hazard fence below) — only tile 0 waits here
     @pl.when(t == 0)
     def _():
         in_dma(0, 0).start()
+        in_dma(0, 0).wait()
         if not b_is_zero:
             b_dma(0, 0).start()
         r2_ref[0, 0] = jnp.zeros((), jnp.float32)
@@ -137,7 +142,6 @@ def _block_kernel(
         if not b_is_zero:
             b_dma(nslot, t + 1).start()
 
-    in_dma(slot, t).wait()
     if not b_is_zero:
         b_dma(slot, t).wait()
 
@@ -166,6 +170,12 @@ def _block_kernel(
         x1, dp = _delta(xv, upd, bv, omega, dtype)
         dpf = dp.astype(jnp.float32)
         r2 = jnp.sum(dpf * dpf)
+
+    # aliasing hazard fence: the next tile's input rows must be in VMEM
+    # before the in-place write begins
+    @pl.when(t + 1 < T)
+    def _():
+        in_dma(nslot, t + 1).wait()
 
     @pl.when(t >= 2)
     def _():
@@ -271,6 +281,8 @@ def make_block_sweep(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit_bytes,
         ),
+        # in-place block update (input 1 = xhp): safe via the hazard fence
+        input_output_aliases={1: 0},
         interpret=interpret,
     )
 
