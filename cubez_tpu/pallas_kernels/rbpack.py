@@ -34,8 +34,13 @@ Per point the arithmetic (values and add order) is identical to
 sweeps._masked_delta, so field results are bitwise-equal to the interleaved
 kernel; only the residual partial-sum grouping differs (roundoff-level).
 
-Constant-coefficient only (the MAF metric tables are I/J-separable in the
-*interleaved* index, which the fold breaks; MAF stays on sweeps.py).
+MAF (variable-coefficient) support: the metric tables are separable
+(c1/c7 per-i, c2/c8 per-j, c3/c9 per-k; ops/maf.py), so the fold only
+mixes the I tables: packed row i2 holds physical i = 2*i2 + s(k, j), and
+s is exactly the ``sel_m1`` parity mask the constant kernel already
+computes.  Splitting each I table into even/odd-i halves and selecting
+per point with that mask recovers the interleaved math bitwise
+(cz_maf.f90:442-668 semantics via sweeps._masked_delta_maf).
 """
 
 from __future__ import annotations
@@ -139,13 +144,57 @@ def _pair_update(center, other, b, mask, sel_m1, omega, dtype):
     return center + dp, dp
 
 
+def _pair_update_maf(center, other, b, mask, sel_m1, ti, wz, omega, dtype):
+    """Dense one-color MAF update (sweeps._masked_delta_maf math, bitwise).
+
+    ti: (8, I2p, Jp) resident tables [wxpE, wxpO, wxmE, wxmO, C12E, C12O,
+    wyp, wym] where *E/*O are the even/odd-physical-i halves of the I
+    weights (wxp = c1+c7/2, wxm = c1-c7/2), C12* = c1* + c2 (f32-rounded
+    like the interleaved kernel's c1+c2), wyp/wym = c2 +- c8/2.
+    wz: (rows, 3, Jp) k-rows [wzm, wzp, c3] aligned with ``center``.
+    Term order matches _masked_delta_maf exactly: k-, k+, i+, i-, j+, j-.
+    """
+    oc = other[1:-1]
+    wzm = wz[:, 0:1, :]
+    wzp = wz[:, 1:2, :]
+    c3 = wz[:, 2:3, :]
+    wxpE, wxpO = ti[0][None], ti[1][None]
+    wxmE, wxmO = ti[2][None], ti[3][None]
+    c12E, c12O = ti[4][None], ti[5][None]
+    wyp, wym = ti[6][None], ti[7][None]
+    # physical i = 2*i2 + s; sel_m1 == (s == 1).  x(i+1) sits at oc[i2]
+    # for s=0 / oc[i2+1] for s=1, x(i-1) at oc[i2-1] / oc[i2].  Neighbor
+    # values and weights are selected BEFORE the multiply so the six
+    # product terms form the same multiply-accumulate chain as the
+    # interleaved kernel (same FMA contraction -> bitwise-equal fields).
+    x_ip = jnp.where(sel_m1, _roll(oc, -1, 1), oc)
+    x_im = jnp.where(sel_m1, oc, _roll(oc, 1, 1))
+    wxp = jnp.where(sel_m1, wxpO, wxpE)
+    wxm = jnp.where(sel_m1, wxmO, wxmE)
+    rp = (
+        wzm * other[:-2]
+        + wzp * other[2:]
+        + wxp * x_ip
+        + wxm * x_im
+        + wyp * _roll(oc, -1, 2)
+        + wym * _roll(oc, 1, 2)
+    )
+    if b is not None:
+        rp = rp + b
+    dd = 2.0 * (jnp.where(sel_m1, c12O, c12E) + c3)
+    dp = jnp.where(mask, (rp / dd - center) * omega, jnp.zeros((), dtype))
+    return center + dp, dp
+
+
 def _packed_kernel(
-    xp_ref, bp_ref, out_ref, r2_ref,
-    xs, bs, outs, in_sems, b_sems, out_sems,
-    *, K, I2, J, I2p, Jp, kt, omega, offset, b_is_zero
+    xp_ref, bp_ref, ti_ref, tkp_ref, out_ref, r2_ref,
+    xs, bs, tks, outs, in_sems, b_sems, tk_sems, out_sems,
+    *, K, I2, J, I2p, Jp, kt, omega, offset, b_is_zero, maf
 ):
     """Same double-buffered K-slab pipeline as sweeps._sweep_kernel (slab
-    head carried in VMEM between tiles; 2-deep output pipeline)."""
+    head carried in VMEM between tiles; 2-deep output pipeline).  Under
+    ``maf`` the (8, I2p, Jp) I/J tables sit resident in VMEM (ti_ref) and
+    the per-k rows [wzm, wzp, c3] stream alongside b (tkp_ref)."""
     t = pl.program_id(0)
     T = pl.num_programs(0)
     two = jnp.asarray(2, t.dtype)
@@ -171,6 +220,11 @@ def _packed_kernel(
             bp_ref.at[pl.ds(idx * kt + 1, kt + 2)], bs.at[s], b_sems.at[s]
         )
 
+    def tk_dma(s, idx):
+        return pltpu.make_async_copy(
+            tkp_ref.at[pl.ds(idx * kt + 1, kt + 2)], tks.at[s], tk_sems.at[s]
+        )
+
     def out_dma(s, idx):
         return pltpu.make_async_copy(
             outs.at[s], out_ref.at[pl.ds(idx * kt + 2, kt)], out_sems.at[s]
@@ -181,11 +235,15 @@ def _packed_kernel(
         in_full_dma(0, 0).start()
         if not b_is_zero:
             b_dma(0, 0).start()
+        if maf:
+            tk_dma(0, 0).start()
 
     @pl.when((t + 1 < T) & (t > 0))
     def _():
         if not b_is_zero:
             b_dma(nslot, t + 1).start()
+        if maf:
+            tk_dma(nslot, t + 1).start()
 
     @pl.when(t == 0)
     def _():
@@ -213,9 +271,13 @@ def _packed_kernel(
         def _():
             if not b_is_zero:
                 b_dma(nslot, 1).start()
+            if maf:
+                tk_dma(nslot, 1).start()
 
     if not b_is_zero:
         b_dma(slot, t).wait()
+    if maf:
+        tk_dma(slot, t).wait()
 
     xv = xs[slot]  # (kt+4, 2*I2p, Jp), global K rows [k0-2, k0+kt+2)
     Rv = xv[:, 0:I2p]
@@ -231,11 +293,20 @@ def _packed_kernel(
         bv = bs[slot]  # rows [k0-1, k0+kt]
         bR = bv[:, 0:I2p]
         bB = bv[1:-1, I2p : 2 * I2p]
-    Rn, dpR = _pair_update(Rv[1:-1], Bv, bR, mR, selR, omega, dtype)
-
-    # black pass on rows [k0, k0+kt) with the updated red as neighbors
     mB, selB = _parity_masks(kt, k0, offset, K, I2, J, I2p, Jp, 1)
-    Bn, dpB = _pair_update(Bv[2:-2], Rn, bB, mB, selB, omega, dtype)
+    if maf:
+        ti = ti_ref[:]
+        wz = tks[slot]  # k rows [k0-1, k0+kt], [wzm, wzp, c3]
+        Rn, dpR = _pair_update_maf(
+            Rv[1:-1], Bv, bR, mR, selR, ti, wz, omega, dtype
+        )
+        Bn, dpB = _pair_update_maf(
+            Bv[2:-2], Rn, bB, mB, selB, ti, wz[1:-1], omega, dtype
+        )
+    else:
+        Rn, dpR = _pair_update(Rv[1:-1], Bv, bR, mR, selR, omega, dtype)
+        # black pass on rows [k0, k0+kt) with the updated red as neighbors
+        Bn, dpB = _pair_update(Bv[2:-2], Rn, bB, mB, selB, omega, dtype)
 
     dpc = dpR[1:-1].astype(jnp.float32)
     dbf = dpB.astype(jnp.float32)
@@ -351,6 +422,56 @@ def make_packed_sweep2x(
     return pair_step
 
 
+def _maf_tables(mc, shape, dtype):
+    """Host-side packed MAF tables: (8, I2p, Jp) resident ti and
+    (K+4, 4, Jp) streamed per-k rows (see _pair_update_maf).  All weight
+    arithmetic is done in ``dtype`` so the values round exactly like the
+    interleaved kernel's runtime computation (bitwise parity)."""
+    import numpy as np
+
+    K, I, J, I2, I2p, Jp = _dims(shape)
+    npdt = np.dtype(dtype)
+    half = npdt.type(0.5)
+
+    def vec(v, n, npad):
+        out = np.ones(npad, npdt)
+        out[:n] = np.asarray(v, npdt).reshape(-1)[:n]
+        return out
+
+    c1 = vec(mc.c1, I, 2 * I2p)
+    c7 = vec(mc.c7, I, 2 * I2p)
+    c2 = vec(mc.c2, J, Jp)
+    c8 = vec(mc.c8, J, Jp)
+    wxp = c1 + half * c7
+    wxm = c1 - half * c7
+
+    def bi(v):  # (I2p,) -> (I2p, Jp)
+        return np.broadcast_to(v[:, None], (I2p, Jp))
+
+    def bj(v):  # (Jp,) -> (I2p, Jp)
+        return np.broadcast_to(v[None, :], (I2p, Jp))
+
+    ti = np.stack(
+        [
+            bi(wxp[0::2]),
+            bi(wxp[1::2]),
+            bi(wxm[0::2]),
+            bi(wxm[1::2]),
+            c1[0::2][:, None] + c2[None, :],
+            c1[1::2][:, None] + c2[None, :],
+            bj(c2 + half * c8),
+            bj(c2 - half * c8),
+        ]
+    )
+    c3 = np.asarray(mc.c3, npdt).reshape(-1)[:K]
+    c9 = np.asarray(mc.c9, npdt).reshape(-1)[:K]
+    tkp = np.ones((K + 4, 4, Jp), npdt)  # pad rows 1.0: dd stays finite
+    tkp[2:-2, 0, :] = (c3 - half * c9)[:, None]
+    tkp[2:-2, 1, :] = (c3 + half * c9)[:, None]
+    tkp[2:-2, 2, :] = c3[:, None]
+    return jnp.asarray(ti), jnp.asarray(tkp)
+
+
 def make_packed_sweep(
     shape,
     dtype=jnp.float32,
@@ -359,6 +480,7 @@ def make_packed_sweep(
     offset: int = 0,
     kt: int | None = None,
     b_is_zero: bool = False,
+    mc=None,
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
@@ -366,7 +488,8 @@ def make_packed_sweep(
 
     Returns None when the layout does not apply (odd I) or no viable K
     tiling exists.  ``step.pad`` / ``step.unpad`` convert (K, I, J) fields
-    to/from the packed layout; apply ``pad`` to x and b alike.
+    to/from the packed layout; apply ``pad`` to x and b alike.  ``mc``
+    (a MafCoeffs) switches to the variable-coefficient MAF update.
     """
     K, I, J = shape
     if I % 2:
@@ -374,8 +497,19 @@ def make_packed_sweep(
     _, _, _, I2, I2p, Jp = _dims(shape)
     IPP = 2 * I2p
     itemsize = jnp.dtype(dtype).itemsize
+    maf = mc is not None
+    if maf:
+        ti, tkp = _maf_tables(mc, shape, dtype)
+        table_bytes = 8 * I2p * Jp * itemsize
+    else:
+        ti = jnp.zeros((1, 8, 128), dtype)
+        tkp = jnp.zeros((1, 8, 128), dtype)
+        table_bytes = 0
     if kt is None:
-        kt = choose_kt((K, IPP, Jp), itemsize, halo=4)
+        kt = choose_kt(
+            (K, IPP, Jp), itemsize, halo=4,
+            max_vmem_bytes=(64 << 20) - table_bytes,
+        )
     if kt is None or K % kt:
         return None
     T = K // kt
@@ -391,16 +525,19 @@ def make_packed_sweep(
         omega=float(omega),
         offset=int(offset),
         b_is_zero=bool(b_is_zero),
+        maf=maf,
     )
 
     bytes_touched = (2 if b_is_zero else 3) * K * IPP * Jp * itemsize
-    flops = 18 * K * I * J
+    flops = (33 if maf else 18) * K * I * J
 
     call = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
@@ -414,7 +551,9 @@ def make_packed_sweep(
         scratch_shapes=[
             pltpu.VMEM((2, kt + 4, IPP, Jp), dtype),
             pltpu.VMEM((2, (kt + 2) if not b_is_zero else 1, IPP, Jp), dtype),
+            pltpu.VMEM((2, (kt + 2) if maf else 1, 4, Jp), dtype),
             pltpu.VMEM((2, kt, IPP, Jp), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -433,7 +572,7 @@ def make_packed_sweep(
     )
 
     def step(xp, bp):
-        out, r2 = call(xp, bp)
+        out, r2 = call(xp, bp, ti, tkp)
         acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         return out, jnp.sum(r2.astype(acc))
 

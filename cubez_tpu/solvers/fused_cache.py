@@ -61,22 +61,23 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
                 grid.shape_kij, grid.dtype, omega=omega, mc=mc,
                 b_is_zero=b_is_zero, interpret=interpret,
             )
-    elif kind == "sor2sma" and mc is None:
+    elif kind == "sor2sma":
         # packed red-black layout: dense per-color compute (measured on v5e
         # the sweep is VPU-bound, so rbpack's halved vector work beats both
         # the interleaved kernel and sweeps2x's halved HBM traffic).  The
         # packed single sweep is HBM-bound, so the temporally-blocked
-        # packed pair (two iterations per HBM pass) goes first.
+        # packed pair (two iterations per HBM pass) goes first.  MAF uses
+        # the packed single sweep with even/odd-split metric tables.
         from ..pallas_kernels import rbpack
 
         step = None
-        if b_is_zero:
+        if b_is_zero and mc is None:
             step = rbpack.make_packed_sweep2x(
                 grid.shape_kij, grid.dtype, omega=omega, interpret=interpret
             )
         if step is None:
             step = rbpack.make_packed_sweep(
-                grid.shape_kij, grid.dtype, omega=omega,
+                grid.shape_kij, grid.dtype, omega=omega, mc=mc,
                 b_is_zero=b_is_zero, interpret=interpret,
             )
         if step is None:

@@ -157,6 +157,88 @@ def test_packed_pair_bitwise_two_singles():
     assert abs(float(r2pair[1]) - float(r2b)) < 1e-5 * max(1.0, float(r2b))
 
 
+@pytest.mark.parametrize("kt", [4, 8])
+def test_packed_maf_matches_xla(kt):
+    prob = Problem.poisson_cube((12, 10, 16), dtype=jnp.float32, maf=True)
+    shape = prob.grid.shape_kij
+    step_ref = jax.jit(make_step(prob, "sor2sma_maf", omega=1.2))
+    step_p = rbpack.make_packed_sweep(
+        shape, jnp.float32, omega=1.2, kt=kt, mc=prob.mc, interpret=True
+    )
+    assert step_p is not None
+    step_p = jax.jit(step_p)
+
+    xr, r2r = step_ref(prob.x0, prob.rhs)
+    xp, r2p = step_p(rbpack.pack_rb(prob.x0), rbpack.pack_rb(prob.rhs))
+    assert float(jnp.max(jnp.abs(rbpack.unpack_rb(xp, shape) - xr))) < 1e-6
+    assert abs(float(r2p) - float(r2r)) < 1e-5 * max(1.0, float(r2r))
+
+
+def test_packed_maf_bitwise_matches_interleaved():
+    """Same values AND op order as the interleaved fused MAF kernel —
+    bitwise-equal fields after several sweeps."""
+    prob = Problem.poisson_cube(16, dtype=jnp.float32, maf=True)
+    shape = prob.grid.shape_kij
+    step_i = jax.jit(
+        fused.make_fused_sweep(
+            "sor2sma", shape, jnp.float32, omega=1.5, kt=4, mc=prob.mc,
+            interpret=True,
+        )
+    )
+    step_p = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.5, kt=4, mc=prob.mc, interpret=True
+        )
+    )
+    xi, bi = fused.pad_k2(prob.x0), fused.pad_k2(prob.rhs)
+    xp, bp = rbpack.pack_rb(prob.x0), rbpack.pack_rb(prob.rhs)
+    for _ in range(3):
+        xi, _ = step_i(xi, bi)
+        xp, _ = step_p(xp, bp)
+    assert jnp.array_equal(
+        fused.unpad_k2(xi, shape), rbpack.unpack_rb(xp, shape)
+    )
+
+
+def test_packed_maf_b_is_zero_and_garbage_immunity():
+    prob = Problem.poisson_cube(12, dtype=jnp.float32, maf=True)
+    shape = prob.grid.shape_kij
+    step0 = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.2, kt=4, mc=prob.mc, interpret=True
+        )
+    )
+    stepz = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.2, kt=4, mc=prob.mc, b_is_zero=True,
+            interpret=True,
+        )
+    )
+    xp = rbpack.pack_rb(prob.x0)
+    bp = rbpack.pack_rb(prob.rhs)
+    xa, _ = step0(xp, bp)
+    I2p = rbpack._dims(shape)[4]
+    nan = jnp.float32(jnp.nan)
+    xpn = xp.at[:2].set(nan).at[-2:].set(nan)
+    xpn = xpn.at[:, shape[1] // 2 : I2p].set(nan)
+    xpn = xpn.at[:, I2p + shape[1] // 2 :].set(nan)
+    xpn = xpn.at[:, :, shape[2] :].set(nan)
+    y, r2 = stepz(xpn, bp)
+    out = rbpack.unpack_rb(y, shape)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert bool(jnp.isfinite(r2))
+    assert float(jnp.max(jnp.abs(out - rbpack.unpack_rb(xa, shape)))) < 1e-6
+
+
+def test_solve_uses_packed_maf_and_matches_jnp():
+    prob = Problem.poisson_cube(16, dtype=jnp.float32, maf=True)
+    r_jnp = solve(prob, "sor2sma_maf", omega=1.5, itr_max=300, impl="jnp")
+    r_pal = solve(prob, "sor2sma_maf", omega=1.5, itr_max=300, impl="pallas")
+    assert r_pal.iters == r_jnp.iters
+    assert abs(r_pal.res - r_jnp.res) < 1e-6 * max(1.0, r_jnp.res)
+    assert float(jnp.max(jnp.abs(r_pal.x - r_jnp.x))) < 5e-5
+
+
 def test_solve_uses_packed_and_matches_jnp():
     prob = Problem.poisson_cube(16, dtype=jnp.float32)
     r_jnp = solve(prob, "sor2sma", omega=1.5, itr_max=400, impl="jnp")

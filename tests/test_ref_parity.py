@@ -85,6 +85,12 @@ def test_reference_128_iteration_counts_checked_in():
         "f32_pcr_128_w1.5.txt": 1357,
         "f32_pcr_rb_128_w1.5.txt": 1356,
         "f32_pbicgstab_sor2sma_128_w1.1.txt": 20,
+        # BASELINE's stricter 1e-6 tolerance at 128^3: f32 tracks f64 to
+        # one iteration (double residual accumulation, cz_solver.f90:214-215)
+        "f32_sor2sma_128_w1.5_eps1e-6.txt": 3066,
+        "f64_sor2sma_128_w1.5_eps1e-6.txt": 3065,
+        # BASELINE config 4: pbicgstab 256^3 f64 oracle evidence
+        "f64_pbicgstab_sor2sma_256_w1.1.txt": 38,
     }
     for fname, iters in expect.items():
         assert len(load(fname)) == iters, fname
