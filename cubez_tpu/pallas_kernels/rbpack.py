@@ -105,14 +105,14 @@ def _parity_masks(rows, k_start, offset, K, I2, J, I2p, Jp, color):
     sel_m1: (rows, 1, Jp) bool — True where the I-neighbor pair needs the
     roll(-1) (downward) sublane shift, i.e. s == 1 for this color.
     s_red = (k+j+offset+1) % 2, s_black = (k+j+offset) % 2; constants keep
-    the lax.rem argument non-negative (k_start >= -1, offset >= 0).
+    the lax.rem argument non-negative (k_start >= -9, offset >= 0).
     """
     two = jnp.asarray(2, jnp.int32)
     k1 = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + jnp.asarray(
         k_start, jnp.int32
     )
     j1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Jp), 2)
-    add = (offset + 3) if color == 0 else (offset + 2)
+    add = (offset + 11) if color == 0 else (offset + 10)
     s = jax.lax.rem(k1 + j1 + add, two)  # (rows, 1, Jp)
     sel_m1 = s == 1
     i2 = jax.lax.broadcasted_iota(jnp.int32, (1, I2p, 1), 1)
@@ -351,6 +351,36 @@ def _rb_pair_packed(xv, k0_mid, *, K, I2, J, I2p, Jp, offset, omega, dtype):
     )
 
 
+def _rb_pair_packed_maf(
+    xv, k0_mid, ti_ref, tk_ref,
+    *, K, I2, J, I2p, Jp, offset, omega, dtype
+):
+    """MAF variant of :func:`_rb_pair_packed` for the 2x pipeline: the
+    per-k weight rows live in a resident (K + kt + 16, 4, 128) table
+    (true k = g at row g + 8, so the lag-window's negative k0_mid stays
+    in range; value lanes broadcast from lane 0)."""
+    rows = xv.shape[0]
+    Rv = xv[:, 0:I2p]
+    Bv = xv[:, I2p : 2 * I2p]
+    ti = ti_ref[:]
+    wz = tk_ref[pl.ds(k0_mid + 8, rows - 2), :, 0:1]  # (rows-2, 4, 1)
+    mR, selR = _parity_masks(rows - 2, k0_mid, offset, K, I2, J, I2p, Jp, 0)
+    Rn, dpR = _pair_update_maf(
+        Rv[1:-1], Bv, None, mR, selR, ti, wz, omega, dtype
+    )
+    mB, selB = _parity_masks(rows - 4, k0_mid + 1, offset, K, I2, J, I2p, Jp, 1)
+    Bn, dpB = _pair_update_maf(
+        Bv[2:-2], Rn, None, mB, selB, ti, wz[1:-1], omega, dtype
+    )
+    dpc = dpR[1:-1].astype(jnp.float32)
+    dbf = dpB.astype(jnp.float32)
+    return (
+        jnp.concatenate([Rn[1:-1], Bn], axis=1),
+        jnp.sum(dpc * dpc),
+        jnp.sum(dbf * dbf),
+    )
+
+
 def make_packed_sweep2x(
     shape,
     dtype=jnp.float32,
@@ -358,6 +388,7 @@ def make_packed_sweep2x(
     omega: float,
     offset: int = 0,
     kt: int | None = None,
+    mc=None,
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
@@ -368,7 +399,8 @@ def make_packed_sweep2x(
     for the VPU-bound interleaved kernel (sweeps2x): per PAIR of
     iterations, one read + one write of the packed field.  Field values
     are bitwise-equal to two single packed sweeps; r2 is a (2,) vector of
-    the two iterations' residual sums.  Zero inner RHS only.
+    the two iterations' residual sums.  Zero inner RHS only.  ``mc``
+    switches to the MAF update (metric tables resident in VMEM).
     """
     from . import sweeps2x
 
@@ -378,8 +410,12 @@ def make_packed_sweep2x(
     _, _, _, I2, I2p, Jp = _dims(shape)
     IPP = 2 * I2p
     itemsize = jnp.dtype(dtype).itemsize
+    table_bytes = 8 * I2p * Jp * itemsize if mc is not None else 0
     if kt is None:
-        kt = choose_kt((K, IPP, Jp), itemsize, halo=8, kt_cap=32)
+        kt = choose_kt(
+            (K, IPP, Jp), itemsize, halo=8, kt_cap=32,
+            max_vmem_bytes=(64 << 20) - table_bytes,
+        )
         if (kt is None or kt < 8) and K % 8 == 0:
             # Large grids: two iterations per HBM pass is worth the whole
             # VMEM budget (measured 512^3 on v5e: 131 vs 79 Gcells/s for
@@ -396,14 +432,36 @@ def make_packed_sweep2x(
     if kt is None or K % kt or kt < 8:
         return None
 
-    pair_fn = functools.partial(
-        _rb_pair_packed, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
-        offset=int(offset), omega=float(omega), dtype=dtype,
-    )
+    if mc is not None:
+        import numpy as np
+
+        ti, _ = _maf_tables(mc, shape, dtype)
+        npdt = np.dtype(dtype)
+        half = npdt.type(0.5)
+        c3 = np.asarray(mc.c3, npdt).reshape(-1)[:K]
+        c9 = np.asarray(mc.c9, npdt).reshape(-1)[:K]
+        tk = np.ones((K + kt + 16, 4, 128), npdt)
+        tk[8 : 8 + K, 0, :] = (c3 - half * c9)[:, None]
+        tk[8 : 8 + K, 1, :] = (c3 + half * c9)[:, None]
+        tk[8 : 8 + K, 2, :] = c3[:, None]
+        tables = (ti, jnp.asarray(tk))
+        pair_fn = functools.partial(
+            _rb_pair_packed_maf, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
+            offset=int(offset), omega=float(omega), dtype=dtype,
+        )
+        flops = 2 * 33 * K * I * J
+    else:
+        tables = ()
+        pair_fn = functools.partial(
+            _rb_pair_packed, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
+            offset=int(offset), omega=float(omega), dtype=dtype,
+        )
+        flops = 2 * 18 * K * I * J
     call = sweeps2x.build_2x(
         pair_fn, K, IPP, Jp, kt, dtype,
-        flops=2 * 18 * K * I * J,
+        flops=flops,
         vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
+        tables=tables,
     )
 
     def pair_step(xp, bp):

@@ -66,17 +66,20 @@ def _rb_pair(xfull, k0_ext, *, K, I, J, Ip, Jp, offset, omega, dtype):
 
 
 def _sweep2x_kernel(
-    xp_ref, out_ref, r2_ref,
-    xs, x1s, outs, in_sems, out_sems,
-    *, K, IP, Jp, kt, pair_fn,
+    xp_ref, *args,
+    K, IP, Jp, kt, pair_fn, n_tabs,
 ):
     """Generic two-iterations-per-pass pipeline over (rows, IP, Jp) slabs.
 
-    ``pair_fn(xv, k0_mid) -> (x_center, r2_color0, r2_color1)`` runs one
-    full RB iteration on slab ``xv``: colors on the middle rows
+    ``pair_fn(xv, k0_mid, *tab_refs) -> (x_center, r2_color0, r2_color1)``
+    runs one full RB iteration on slab ``xv``: colors on the middle rows
     (``xv[1:-1]``, first middle row has true K index ``k0_mid``), returning
     the center rows ``xv[2:-2]`` updated.  Interleaved layout uses
-    _rb_pair; the packed layout (rbpack.py) plugs in its dense pair."""
+    _rb_pair; the packed layout (rbpack.py) plugs in its dense pair.
+    ``n_tabs`` resident VMEM table inputs (e.g. MAF metric tables) follow
+    xp_ref and are handed through to pair_fn."""
+    tab_refs = args[:n_tabs]
+    (out_ref, r2_ref, xs, x1s, outs, in_sems, out_sems) = args[n_tabs:]
     t = pl.program_id(0)
     T = K // kt  # input tiles; the grid runs T+1 steps to drain the lag
     two = jnp.asarray(2, t.dtype)
@@ -159,7 +162,7 @@ def _sweep2x_kernel(
         x1s[1, 0:4] = x1s[0, kt : kt + 4]
 
     xv = xs[slot]
-    x1_mid, r2a, r2b = pair_fn(xv, t * kt - 3)
+    x1_mid, r2a, r2b = pair_fn(xv, t * kt - 3, *tab_refs)
     x1s[slot, 4 : kt + 4] = x1_mid
     r2_ref[t, 0] = r2a
     r2_ref[t, 1] = r2b
@@ -175,7 +178,7 @@ def _sweep2x_kernel(
         out_dma(slot, t - 2).wait()
 
     x1v = x1s[slot]
-    x2_mid, r2c, r2d = pair_fn(x1v, t * kt - 5)
+    x2_mid, r2c, r2d = pair_fn(x1v, t * kt - 5, *tab_refs)
     outs[slot] = x2_mid
     r2_ref[t, 2] = r2c
     r2_ref[t, 3] = r2d
@@ -205,18 +208,22 @@ def _sweep2x_kernel(
 
 
 def build_2x(pair_fn, K, IP, Jp, kt, dtype, *, flops, vmem_limit_bytes,
-             interpret):
+             interpret, tables=()):
     """pallas_call for the two-iterations-per-pass pipeline over
-    (K+4, IP, Jp) state; shared by the interleaved and packed layouts."""
+    (K+4, IP, Jp) state; shared by the interleaved and packed layouts.
+    ``tables``: resident VMEM side inputs appended to the call and handed
+    to pair_fn as refs (the caller closes over the actual arrays)."""
     itemsize = jnp.dtype(dtype).itemsize
     T = K // kt
     kern = functools.partial(
-        _sweep2x_kernel, K=K, IP=IP, Jp=Jp, kt=kt, pair_fn=pair_fn
+        _sweep2x_kernel, K=K, IP=IP, Jp=Jp, kt=kt, pair_fn=pair_fn,
+        n_tabs=len(tables),
     )
-    return pl.pallas_call(
+    inner = pl.pallas_call(
         kern,
         grid=(T + 1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -246,6 +253,9 @@ def build_2x(pair_fn, K, IP, Jp, kt, dtype, *, flops, vmem_limit_bytes,
         input_output_aliases={0: 0},
         interpret=interpret,
     )
+    if not tables:
+        return inner
+    return lambda xp: inner(xp, *tables)
 
 
 def make_fused_sweep2x(

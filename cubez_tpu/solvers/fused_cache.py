@@ -71,9 +71,10 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
         from ..pallas_kernels import rbpack
 
         step = None
-        if b_is_zero and mc is None:
+        if b_is_zero:
             step = rbpack.make_packed_sweep2x(
-                grid.shape_kij, grid.dtype, omega=omega, interpret=interpret
+                grid.shape_kij, grid.dtype, omega=omega, mc=mc,
+                interpret=interpret,
             )
         if step is None:
             step = rbpack.make_packed_sweep(

@@ -230,6 +230,36 @@ def test_packed_maf_b_is_zero_and_garbage_immunity():
     assert float(jnp.max(jnp.abs(out - rbpack.unpack_rb(xa, shape)))) < 1e-6
 
 
+def test_packed_maf_pair_bitwise_two_singles():
+    """The MAF temporally-blocked packed pair must equal two single packed
+    MAF sweeps bitwise (field)."""
+    prob = Problem.poisson_cube(16, dtype=jnp.float32, maf=True)
+    shape = prob.grid.shape_kij
+    one = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.5, kt=8, mc=prob.mc, b_is_zero=True,
+            interpret=True,
+        )
+    )
+    two = rbpack.make_packed_sweep2x(
+        shape, jnp.float32, omega=1.5, kt=8, mc=prob.mc, interpret=True
+    )
+    assert two is not None and two.iters_per_call == 2
+    two = jax.jit(two)
+    xp = rbpack.pack_rb(prob.x0)
+    bp = rbpack.pack_rb(prob.rhs)
+    key = jax.random.PRNGKey(7)
+    xp = xp + 0.1 * jax.random.normal(key, xp.shape, jnp.float32)
+    x1, r2a = one(xp, bp)
+    x2, r2b = one(x1, bp)
+    xpair, r2pair = two(xp, bp)
+    assert jnp.array_equal(
+        rbpack.unpack_rb(x2, shape), rbpack.unpack_rb(xpair, shape)
+    )
+    assert abs(float(r2pair[0]) - float(r2a)) < 1e-5 * max(1.0, float(r2a))
+    assert abs(float(r2pair[1]) - float(r2b)) < 1e-5 * max(1.0, float(r2b))
+
+
 def test_solve_uses_packed_maf_and_matches_jnp():
     prob = Problem.poisson_cube(16, dtype=jnp.float32, maf=True)
     r_jnp = solve(prob, "sor2sma_maf", omega=1.5, itr_max=300, impl="jnp")
