@@ -45,6 +45,11 @@ def build_argparser():
         help="compile the exact solve executable first so the reported wall "
         "time excludes compilation",
     )
+    ap.add_argument(
+        "--platform", choices=("cpu", "tpu"), default=None,
+        help="pin the JAX platform in-process (overrides plugin defaults; "
+        "useful when the accelerator is unreachable)",
+    )
     return ap
 
 
@@ -53,6 +58,8 @@ def main(argv=None):
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.fp64:
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
