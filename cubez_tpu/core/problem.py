@@ -28,6 +28,18 @@ class Problem:
     # lets the fused sweeps skip streaming b entirely (one less HBM pass)
     rhs_inner_zero: bool = False
 
+    def rhs_is_inner_zero(self) -> bool:
+        """The rhs_inner_zero hint, verified against the actual array.
+
+        The stored flag survives ``dataclasses.replace(prob, rhs=...)``
+        unchanged, so consumers that would *drop* the RHS (fused kernels
+        with ``b_is_zero``) must call this instead of trusting the field:
+        one cheap device reduction guards against silently solving the
+        wrong problem."""
+        if not self.rhs_inner_zero:
+            return False
+        return not bool(jnp.any(self.rhs * self.msk))
+
     @classmethod
     def poisson_cube(cls, n, dtype=jnp.float32, maf: bool = False) -> "Problem":
         """The reference's only problem: Laplace on the unit cube with the

@@ -229,6 +229,11 @@ def make_block_sweep(
         kt = choose_kt((lk, Ip, Jp), itemsize, halo=x_halo)
     if kt is None or lk % kt:
         return None
+    if fused_rb and kt < 2:
+        # the fused-rb slab extends 2 rows each side (x_halo=4, x_off=0):
+        # at kt=1 in_dma(t+2) — started during tile t+1 — overlaps
+        # out_dma(t)'s in-place write range, outside the hazard fence
+        return None
     T = lk // kt
     b_halo = 2 if fused_rb else 0
     b_rows = kt + 2 if fused_rb else kt

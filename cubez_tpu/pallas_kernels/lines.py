@@ -75,6 +75,41 @@ def _roll_j(x, shift):
     return pltpu.roll(x, shift=shift, axis=2)
 
 
+def _mxu_matmul(m, d, dtype):
+    # Precision.HIGHEST: the MXU's default f32 path truncates the operands
+    # to bf16 (measured 7.6e-3 solution error on v5e); HIGHEST selects the
+    # multi-pass true-f32 product
+    return jax.lax.dot_general(
+        m, d, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(dtype)
+
+
+def batched_solve_const(m1, d, Jp, dtype):
+    """x = T^-1 d over a (rows, Kp, Jp) stack: all rows concatenate into ONE
+    weight-stationary (Kp, rows*Jp) MXU operand so T^-1 loads into the MXU
+    once per tile instead of once per row (HIGHEST is a multi-pass product —
+    per-matmul weight reloads dominate at Jp=128).  Shared by the line
+    kernels here and in rblines.py."""
+    rows = d.shape[0]
+    D = jnp.concatenate([d[r] for r in range(rows)], axis=1)
+    X = _mxu_matmul(m1, D, dtype)
+    return jnp.stack([X[:, r * Jp : (r + 1) * Jp] for r in range(rows)])
+
+
+def batched_solve_maf(m1, m2, mu2d, lam_rows, d, Jp, dtype):
+    """Fast-diagonalization x = V((V^-1 d)/(mu+lambda)) over a (rows, Kp,
+    Jp) stack, batched like batched_solve_const.  ``mu2d`` is the (Kp, Jp)
+    eigenvalue column; ``lam_rows[r]`` the (1, Jp) per-line shift."""
+    rows = d.shape[0]
+    D = jnp.concatenate([d[r] for r in range(rows)], axis=1)
+    W = _mxu_matmul(m2, D, dtype)
+    L = jnp.concatenate([mu2d + lam_rows[r] for r in range(rows)], axis=1)
+    X = _mxu_matmul(m1, W / L, dtype)
+    return jnp.stack([X[:, r * Jp : (r + 1) * Jp] for r in range(rows)])
+
+
 def choose_it(shape, itemsize=4, max_vmem_bytes=64 << 20, it_cap=32):
     """Largest divisor of I (<= it_cap) fitting the VMEM model:
     2*(it+4) input + 2*(it+2) b + 2*it out + ~8*it temporaries rows of
@@ -167,45 +202,16 @@ def _line_kernel(
         mu = mu_ref[:][None]  # (1, Kp, Jp)
 
         def solve(d, lam_rows):
-            # x = V ((V^-1 d) / (mu + lambda));  d (rows, Kp, Jp).  All rows
-            # batch into ONE (Kp, rows*Jp) operand per matmul so V/Vi load
-            # into the MXU once per tile instead of once per row (HIGHEST
-            # is a 6-pass product — per-matmul weight reloads dominate at
-            # Jp=128).
-            rows = d.shape[0]
+            # x = V ((V^-1 d) / (mu + lambda));  d (rows, Kp, Jp)
             if batch:
-                D = jnp.concatenate([d[r] for r in range(rows)], axis=1)
-                W = jax.lax.dot_general(
-                    m2_ref[:], D, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU
-                ).astype(dtype)
-                L = jnp.concatenate(
-                    [mu[0] + lam_rows[r] for r in range(rows)], axis=1
-                )
-                X = jax.lax.dot_general(
-                    m1_ref[:], W / L, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                ).astype(dtype)
-                return jnp.stack(
-                    [X[:, r * Jp : (r + 1) * Jp] for r in range(rows)]
+                return batched_solve_maf(
+                    m1_ref[:], m2_ref[:], mu[0], lam_rows, d, Jp, dtype
                 )
             out = []
-            for r in range(rows):
-                w = jax.lax.dot_general(
-                    m2_ref[:], d[r], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU
-                ).astype(dtype)
+            for r in range(d.shape[0]):
+                w = _mxu_matmul(m2_ref[:], d[r], dtype)
                 w = w / (mu[0] + lam_rows[r])
-                out.append(
-                    jax.lax.dot_general(
-                        m1_ref[:], w, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    ).astype(dtype)
-                )
+                out.append(_mxu_matmul(m1_ref[:], w, dtype))
             return jnp.stack(out)
 
         def build_d(xslab, brows, trow0):
@@ -240,29 +246,10 @@ def _line_kernel(
 
         def solve(d, lam_rows):
             Ti = m1_ref[:]  # (Kp, Kp) padded T^-1
-            # Precision.HIGHEST: the MXU's default f32 path truncates the
-            # operands to bf16 (measured 7.6e-3 solution error on v5e);
-            # HIGHEST selects the multi-pass true-f32 product
-            rows = d.shape[0]
             if batch:  # one weight-stationary matmul for all rows
-                D = jnp.concatenate([d[r] for r in range(rows)], axis=1)
-                X = jax.lax.dot_general(
-                    Ti, D, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                ).astype(dtype)
-                return jnp.stack(
-                    [X[:, r * Jp : (r + 1) * Jp] for r in range(rows)]
-                )
+                return batched_solve_const(Ti, d, Jp, dtype)
             return jnp.stack(
-                [
-                    jax.lax.dot_general(
-                        Ti, d[r], (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST,
-                    ).astype(dtype)
-                    for r in range(rows)
-                ]
+                [_mxu_matmul(Ti, d[r], dtype) for r in range(d.shape[0])]
             )
 
         def build_d(xslab, brows, trow0):
@@ -374,6 +361,11 @@ def make_line_step(
     if it is None:
         it = choose_it((Kp, I, Jp), itemsize)
     if it is None or I % it:
+        return None
+    if kind == "pcr_rb" and it < 2:
+        # the rb slab extends 2 rows each side (x_halo=4, x_off=0): at it=1
+        # in_dma(t+2) — started during tile t+1 — overlaps out_dma(t)'s
+        # in-place write range, which the hazard fence does not cover
         return None
     T = I // it
     maf = mc is not None

@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import fastdiag
-from .lines import R6, _roll_j
+from .lines import R6, _roll_j, batched_solve_const, batched_solve_maf
 from .sweeps import _round_up
 
 
@@ -188,24 +188,9 @@ def _rbl_kernel(
 
         def solve(d, lam_rows):
             # x = V ((V^-1 d) / (mu + lambda)); all rows batched into one
-            # (Kp, rows*Jp) MXU operand (see lines.py)
-            rows = d.shape[0]
-            D = jnp.concatenate([d[r] for r in range(rows)], axis=1)
-            W = jax.lax.dot_general(
-                m2_ref[:], D, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU
-            ).astype(dtype)
-            L = jnp.concatenate(
-                [mu[0] + lam_rows[r] for r in range(rows)], axis=1
-            )
-            X = jax.lax.dot_general(
-                m1_ref[:], W / L, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(dtype)
-            return jnp.stack(
-                [X[:, r * Jp : (r + 1) * Jp] for r in range(rows)]
+            # (Kp, rows*Jp) MXU operand (shared helper in lines.py)
+            return batched_solve_maf(
+                m1_ref[:], m2_ref[:], mu[0], lam_rows, d, Jp, dtype
             )
 
         def build_d(oc, om, op, own_c, brows, tab_ref, trow0, color):
@@ -244,16 +229,7 @@ def _rbl_kernel(
     else:
 
         def solve(d, lam_rows):
-            rows = d.shape[0]
-            D = jnp.concatenate([d[r] for r in range(rows)], axis=1)
-            X = jax.lax.dot_general(
-                m1_ref[:], D, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,  # true-f32 MXU
-            ).astype(dtype)
-            return jnp.stack(
-                [X[:, r * Jp : (r + 1) * Jp] for r in range(rows)]
-            )
+            return batched_solve_const(m1_ref[:], d, Jp, dtype)
 
         def build_d(oc, om, op, own_c, brows, tab_ref, trow0, color):
             if color == 0:
@@ -350,6 +326,11 @@ def make_rbl_step(
     if it2 is None:
         it2 = choose_it2(shape, itemsize)
     if it2 is None or I2 % it2:
+        return None
+    if it2 < 2:
+        # the slab extends 2 rows each side: at it2=1 in_dma(t+2) — started
+        # during tile t+1 — overlaps out_dma(t)'s in-place write range,
+        # which the hazard fence does not cover
         return None
     T = I2 // it2
     maf = mc is not None

@@ -88,7 +88,7 @@ def solve_dist(
     if use_fused and not overlap:
         step = dist_fused.make_dist_fused_step(
             problem, cmesh, kind, omega, sync=sync,
-            b_is_zero=problem.rhs_inner_zero,
+            b_is_zero=problem.rhs_is_inner_zero(),
             interpret=(jax.default_backend() != "tpu"),
         )
     if step is not None:

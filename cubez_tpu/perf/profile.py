@@ -60,22 +60,26 @@ def profile_solve(problem, solver: str, omega: float, iters: int = 50,
     base = kind[:-4] if kind.endswith("_maf") else kind
     flops1, bytes1 = sweep_cost(base, g.shape_kij, itemsize)
 
+    from ..solvers.steps import parse_name
+
+    k, is_maf = parse_name(solver)
+
     if cmesh is None:
         from ..solvers.api import _can_fuse
-        from ..solvers.steps import parse_name
 
-        k, is_maf = parse_name(solver)
+        step = None
         if _can_fuse(problem, k, is_maf, impl):
             from ..solvers.fused_cache import get_fused_step, pad_unpad
 
             step = get_fused_step(
                 k, g, omega, problem.mc if is_maf else None,
                 jax.default_backend() != "tpu",
-                b_is_zero=problem.rhs_inner_zero,
+                b_is_zero=problem.rhs_is_inner_zero(),
             )
+        if step is not None:
             pad, _ = pad_unpad(k, g, step)
             x, b = pad(problem.x0), pad(problem.rhs)
-        else:
+        else:  # no viable tiling / not fuseable — profile the XLA step
             from ..solvers.fused_cache import get_jnp_step
 
             step = get_jnp_step(problem, solver, omega)
@@ -107,17 +111,36 @@ def profile_solve(problem, solver: str, omega: float, iters: int = 50,
     bs = (g.nk // dz, g.ni // dx, g.nj // dy)
     cbytes = comm_bytes_per_exchange(bs, itemsize)
 
+    # fused-path eligibility mirrors parallel/api.py::solve_dist; the
+    # canonical kind (not the raw CLI name) selects the kernel, and line
+    # kinds use the line-block state layout + line ghost refresh
+    line = k in ("pcr", "pcr_rb")
     step = None
     on_tpu = jax.default_backend() == "tpu"
-    if impl != "jnp" and on_tpu:
+    if (
+        (impl == "pallas" or (impl != "jnp" and on_tpu))
+        and g.dtype == jnp.float32
+        and k in ("jacobi", "sor2sma", "pcr", "pcr_rb")
+        and (not is_maf or line)
+    ):
         step = dist_fused.make_dist_fused_step(
-            problem, cmesh, kind, omega, b_is_zero=problem.rhs_inner_zero,
+            problem, cmesh, k, omega,
+            b_is_zero=problem.rhs_is_inner_zero(),
+            interpret=not on_tpu,
         )
     if step is not None:
-        x = dist_fused.to_block_state(cmesh, problem.x0)
-        b = dist_fused.to_block_state(cmesh, problem.rhs)
+        to_state = (
+            dist_fused.to_line_block_state if line
+            else dist_fused.to_block_state
+        )
+        refresh_fn = (
+            dist_fused._refresh_ghosts_line if line
+            else dist_fused._refresh_ghosts
+        )
+        x = to_state(cmesh, problem.x0)
+        b = to_state(cmesh, problem.rhs)
         refresh = shard_map(
-            lambda xp: dist_fused._refresh_ghosts(xp, bs),
+            lambda xp: refresh_fn(xp, bs),
             mesh=cmesh.mesh, in_specs=(FIELD_SPEC,), out_specs=FIELD_SPEC,
         )
     else:
@@ -147,7 +170,7 @@ def profile_solve(problem, solver: str, omega: float, iters: int = 50,
     )
     t_psum = _timed(jax.jit(psum_n), jnp.ones(()))
 
-    n_exch = 2 if kind in ("sor2sma", "pcr_rb") else 1  # per-color refresh
+    n_exch = 2 if k in ("sor2sma", "pcr_rb") else 1  # per-color refresh
     pm.add("halo_exchange", t_halo * n_exch, kind=COMM,
            bytes=cbytes * iters * n_exch, calls=iters * n_exch)
     pm.add("residual_allreduce", t_psum, kind=COMM,

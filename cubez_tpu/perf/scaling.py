@@ -59,21 +59,32 @@ def weak_scaling(
         # grow the cube so each device holds a block^3 region
         div = auto_division(n, (10**9, 10**9, 10**9))
         gsize = tuple(block * d for d in div)
+        from ..solvers.steps import parse_name
+
+        kind, is_maf = parse_name(solver)
+        line = kind in ("pcr", "pcr_rb")
         cm = make_mesh(gsize, devices=devices[:n], div=div)
-        prob = Problem.poisson_cube((gsize[1], gsize[2], gsize[0]))
+        prob = Problem.poisson_cube((gsize[1], gsize[2], gsize[0]), maf=is_maf)
 
         step = None
         on_tpu = jax.default_backend() == "tpu"
         # fused kernels off-TPU run in interpret mode — meaningless to time;
         # 'fused' forces them anyway (functional check)
-        if impl == "fused" or (impl != "jnp" and on_tpu):
+        if (impl == "fused" or (impl != "jnp" and on_tpu)) and (
+            kind in ("jacobi", "sor2sma", "pcr", "pcr_rb")
+            and (not is_maf or line)
+        ):
             step = dist_fused.make_dist_fused_step(
-                prob, cm, solver, omega, b_is_zero=prob.rhs_inner_zero,
+                prob, cm, kind, omega, b_is_zero=prob.rhs_is_inner_zero(),
                 interpret=not on_tpu,
             )
         if step is not None:
-            x = dist_fused.to_block_state(cm, prob.x0)
-            b = dist_fused.to_block_state(cm, prob.rhs)
+            to_state = (
+                dist_fused.to_line_block_state if line
+                else dist_fused.to_block_state
+            )
+            x = to_state(cm, prob.x0)
+            b = to_state(cm, prob.rhs)
         else:
             step = make_dist_step(prob, cm, solver, omega)
             x = cm.shard(prob.x0)

@@ -79,7 +79,7 @@ def solve(
         interpret = jax.default_backend() != "tpu"
         step = get_fused_step(
             kind, g, omega, problem.mc if is_maf else None, interpret,
-            b_is_zero=problem.rhs_inner_zero,
+            b_is_zero=problem.rhs_is_inner_zero(),
         )
         if step is None:  # no viable tiling — fall back
             from .fused_cache import get_jnp_step

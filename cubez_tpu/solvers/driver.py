@@ -144,8 +144,12 @@ def _run_loop_chunked(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
     state = (x0, jnp.int32(0), hist0, jnp.bool_(False))
     x, done, hist, _hit = jax.lax.while_loop(cond, body, state)
 
-    # exact stopping iteration: first sweep with r2 < thresh, else itr_max
-    ran = jax.lax.iota(jnp.int32, total) < done
+    # exact stopping iteration: first sweep with r2 < thresh, else itr_max.
+    # The final chunk may overshoot itr_max (total is rounded up to whole
+    # chunks); those extra sweeps must not count as executed iterations or
+    # the chunked loop could report iters > itr_max where the per-iteration
+    # loop stops unconverged at itr_max.
+    ran = jax.lax.iota(jnp.int32, total) < jnp.minimum(done, itr_max)
     below = jnp.logical_and(hist < thresh, ran)
     itr = jnp.where(
         jnp.any(below),

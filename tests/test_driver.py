@@ -38,6 +38,30 @@ def test_chunked_hits_itr_max_exactly():
     assert len(r.history) == 37
 
 
+def test_chunked_final_chunk_overshoot_respects_itr_max():
+    """A solve that first converges INSIDE the final chunk's overshoot
+    region (past itr_max but before the chunk boundary) must report
+    iters == itr_max, unconverged — exactly like per-iteration checking."""
+    prob = Problem.poisson_cube(24)
+    step = get_jnp_step(prob, "sor2sma", 1.5)
+    g = prob.grid
+    full = run_iterative(step, prob.x0, prob.rhs, g.res_normal, 2000,
+                         eps=1e-5, check_every=1)
+    c = full.iters  # true convergence iteration
+    itr_max = c - 3
+    chunk = 16
+    # the scenario requires the rounded-up chunk total to cover c
+    assert -(-itr_max // chunk) * chunk >= c
+    r1 = run_iterative(step, prob.x0, prob.rhs, g.res_normal, itr_max,
+                       eps=1e-5, check_every=1)
+    rc = run_iterative(step, prob.x0, prob.rhs, g.res_normal, itr_max,
+                       eps=1e-5, check_every=chunk)
+    assert r1.iters == itr_max and float(r1.res) >= 1e-5
+    assert rc.iters == itr_max
+    assert float(rc.res) >= 1e-5 * (1 - 1e-6)
+    assert len(rc.history) == itr_max
+
+
 def test_eps_1e6_f32_iteration_parity_with_f64():
     """BASELINE's stricter 1e-6 tolerance: the f32 path must reach it with
     the same iteration count as the f64 oracle (residual accumulation is

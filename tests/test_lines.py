@@ -162,3 +162,28 @@ def test_maf_fastdiag_stretched_grid():
         x_ref = thomas_var(a, d2c3 + lam, c, d)
         x_fd = V @ ((Vi @ d) / (mu + lam))
         np.testing.assert_allclose(x_fd, x_ref, rtol=1e-9, atol=1e-11)
+
+
+def test_tile1_rb_layout_refused():
+    """Tile size 1 in the 4-row-halo (red-black) slab layouts would let
+    in_dma(t+2) — started during tile t+1 — overlap out_dma(t)'s in-place
+    write range, outside the hazard fence.  The builders must refuse it
+    (return None -> caller falls back) rather than emit a racy kernel."""
+    from cubez_tpu.pallas_kernels import rblines
+    from cubez_tpu.pallas_kernels.dist_sweeps import make_block_sweep
+
+    shape = (18, 16, 16)  # (K, I, J)
+    assert lines.make_line_step(
+        "pcr_rb", shape, omega=1.5, it=1, interpret=True) is None
+    # the 2-row-halo Jacobi layout is safe at it=1 and must still build
+    assert lines.make_line_step(
+        "pcr_j", shape, omega=1.0, it=1, interpret=True) is not None
+    assert rblines.make_rbl_step(
+        (18, 16, 32), omega=1.5, it2=1, interpret=True) is None
+    assert make_block_sweep(
+        "sor2sma", (16, 16, 16), (16, 16, 16), omega=1.5, kt=1,
+        interpret=True) is None
+    # per-color (2-row-halo) block sweep is safe at kt=1
+    assert make_block_sweep(
+        "sor2sma", (16, 16, 16), (16, 16, 16), omega=1.5, kt=1, color=0,
+        interpret=True) is not None

@@ -136,3 +136,21 @@ def test_history_file_format(tmp_path):
     assert lines[0] == "Itration      Residual"
     assert lines[1].startswith("     1, ")
     assert len(lines) == res.iters + 1
+
+
+def test_replaced_nonzero_rhs_not_dropped():
+    """dataclasses.replace(prob, rhs=nonzero) keeps the stale
+    rhs_inner_zero hint; the fused (b_is_zero) path must not trust it and
+    silently solve the Laplace problem instead."""
+    import dataclasses
+
+    prob0 = Problem.poisson_cube(16)
+    prob = dataclasses.replace(prob0, rhs=prob0.rhs + 5.0 * prob0.msk)
+    assert prob.rhs_inner_zero  # the stale hint survives replace
+    assert not prob.rhs_is_inner_zero()
+    rp = solve(prob, "sor2sma", omega=1.5, itr_max=4000, impl="pallas")
+    rj = solve(prob, "sor2sma", omega=1.5, itr_max=4000, impl="jnp")
+    assert rp.iters == rj.iters
+    np.testing.assert_allclose(
+        np.asarray(rp.x), np.asarray(rj.x), rtol=1e-5, atol=1e-5
+    )
