@@ -42,25 +42,44 @@ ITERS_SHORT, ITERS_LONG = 500, 4000
 REPS = 5
 
 
-def _probe_device(timeout_s: int = 120) -> bool:
-    """True if the backend answers a trivial op within timeout_s.  The axon
-    TPU tunnel can wedge for hours (see .claude memory); without this guard
-    the bench would hang instead of reporting."""
-    import signal
+def _error_json(msg: str) -> str:
+    return json.dumps(
+        {
+            "metric": "cell-updates/s/chip (sor2sma 128^3 f32)",
+            "value": 0,
+            "unit": "Mcells/s",
+            "vs_baseline": 0,
+            "error": msg,
+        }
+    )
 
-    def _alarm(signum, frame):
-        raise TimeoutError
 
-    old = signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(timeout_s)
-    try:
-        jax.block_until_ready(jnp.ones((8, 8)).sum())
-        return True
-    except Exception:
-        return False
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+def _probe_device(timeout_s: int = 90, retries: int = 8) -> bool:
+    """True if the backend answers a trivial op within timeout_s (retrying —
+    wedges sometimes clear in minutes).  The probe runs in a SUBPROCESS:
+    a call blocked on the wedged axon tunnel never re-enters the Python
+    interpreter, so an in-process SIGALRM handler never fires (measured:
+    a 120 s alarm still hanging at 400 s).  A child we can kill is the only
+    reliable guard, and killing it cannot wedge this process, which has not
+    touched the device yet."""
+    import subprocess
+    import sys
+
+    code = "import jax, jax.numpy as jnp; " \
+           "jax.block_until_ready(jnp.ones((8, 8)).sum())"
+    for i in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i < retries - 1:
+            time.sleep(30)
+    return False
 
 
 def main():
@@ -70,17 +89,7 @@ def main():
     from cubez_tpu.solvers.steps import make_step
 
     if not _probe_device():
-        print(
-            json.dumps(
-                {
-                    "metric": "cell-updates/s/chip (sor2sma 128^3 f32)",
-                    "value": 0,
-                    "unit": "Mcells/s",
-                    "vs_baseline": 0,
-                    "error": "device unreachable (tunnel wedged?)",
-                }
-            )
-        )
+        print(_error_json("device unreachable (tunnel wedged?)"))
         return
 
     prob = Problem.poisson_cube(N, dtype=jnp.float32)
@@ -197,5 +206,29 @@ def main():
     )
 
 
+def _main_with_watchdog():
+    """Run main() in a killable child: if the tunnel wedges MID-bench, the
+    blocked device call never returns to the interpreter and no in-process
+    guard can fire.  The child inherits stdout, so on success its JSON line
+    is the output; on timeout we kill it and print the error line."""
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("CZ_BENCH_INNER") == "1":
+        main()
+        return
+    env = dict(os.environ, CZ_BENCH_INNER="1")
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            timeout=1800,
+        )
+        if r.returncode != 0:
+            print(_error_json(f"bench child exited {r.returncode}"))
+    except subprocess.TimeoutExpired:
+        print(_error_json("bench timed out (tunnel wedged mid-run?)"))
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_watchdog()
