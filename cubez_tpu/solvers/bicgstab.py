@@ -111,11 +111,16 @@ def make_bicgstab(
         rk = lambda p, b: blas.calc_rk(p, b, msk)
 
     if precond and precond.lower() not in ("none", "copy"):
+        # one V-cycle is the canonical multigrid preconditioner (extension;
+        # the reference's fixed-8 rule applies to its single-level sweeps)
+        nsw = 1 if precond.lower() == "mg" else PRECOND_SWEEPS
         precon = _fused_precon(problem, precond, omega_accel, impl, cmesh)
         if precon is None:
-            pstep = steps_mod.make_step(problem, precond, omega_accel)
+            pstep = steps_mod.make_step(problem, precond, 1.0
+                                        if precond.lower() == "mg"
+                                        else omega_accel)
             precon = lambda bb: fixed_sweeps(
-                pstep, jnp.zeros_like(bb), bb, PRECOND_SWEEPS
+                pstep, jnp.zeros_like(bb), bb, nsw
             )
     else:
         precon = lambda bb: bb  # default: copy (cz_Poisson.cpp:320)

@@ -1,0 +1,194 @@
+"""Geometric multigrid — a deliberate EXTENSION beyond the reference.
+
+The reference (kenoogl/CubeZ) stops at single-level relaxation/Krylov
+solvers; its headline sor2sma run takes 1813 iterations at 128^3
+(cz_Poisson.cpp:159-235 + example invocations, Readme.md:384-392).  A
+geometric V-cycle solves the same 7-point Poisson problem in O(10) cycles
+independent of grid size — the classic algorithmic win this platform adds
+on top of kernel-level parity (documented as an extension in README/PARITY,
+like utils/checkpoint.py).
+
+Design (TPU-first):
+  * Everything is static-shaped dense array math per level, so the whole
+    V-cycle unrolls into one XLA executable: smoothing is the existing
+    masked red-black sweep (ops/stencil.py), transfer operators are
+    strided slices (restriction) and interleaved stacks (prolongation) —
+    no gathers, no data-dependent control flow.
+  * Operator convention matches ops/blas.py: ``A x = sum(neighbors) - 6 x``
+    and the level equation is ``A x = b`` (calc_ax/calc_rk,
+    cz_blas.f90:579-723).  A is the h^2-scaled Laplacian, so the coarse
+    (2h) re-discretized equation for the error carries the standard factor
+    4 on the restricted residual.
+  * Vertex-centered coarsening on the INNER nodes: coarse inner index
+    c (1-based) sits at fine inner index 2c, coarse inner count
+    mc = floor(m/2) for fine inner count m.  This works for ANY grid size
+    (the reference sizes 64/128 are not 2^k+1): when m is even the last
+    coarse node is one fine spacing from the wall but is treated as a
+    regular H-spaced node — a boundary-local operator inconsistency that
+    the post-smoother absorbs (validated by the convergence tests).
+  * Restriction: 27-point full weighting = tensor product of 1D
+    (1/4, 1/2, 1/4); prolongation: its transpose (trilinear
+    interpolation).  Both act on full arrays with a zero boundary shell.
+
+The V-cycle is exposed as a standard ``step(x, b) -> (x_new, r2)`` so the
+existing convergence driver (driver.run_iterative: on-device while_loop,
+history buffer, eps semantics, <solver>.txt output) applies unchanged.
+One "iteration" of solver name ``mg`` = one V(nu1, nu2) cycle.
+
+Residual semantics: relaxation solvers stop on RMS(dp) of their update
+(cz_Poisson.cpp:67-77).  A cycle's update is not comparable across
+methods, so ``mg`` stops on the omega=1 Jacobi-equivalent update
+``RMS((b - A x)/6)`` — the dp a unit-omega point sweep would take from
+the current iterate.  This makes eps directly comparable with the
+reference's jacobi criterion and is computed AFTER each cycle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import Grid
+from ..ops import stencil
+from ..ops.blas import calc_rk
+
+
+def _restrict1(r, axis: int, mc: int):
+    """Full-weighting restriction along one axis of a full (shell-padded)
+    array: coarse inner c=1..mc reads fine inner 2c-1, 2c, 2c+1 (all in
+    bounds: 2mc+1 <= m+1 = wall index).  Output has extent mc+2 with a
+    zero shell along ``axis``."""
+    sl = lambda s, e: tuple(
+        slice(s, e, 2) if a == axis else slice(None) for a in range(r.ndim)
+    )
+    mid = r[sl(2, 2 * mc + 1)]
+    lo = r[sl(1, 2 * mc)]
+    hi = r[sl(3, 2 * mc + 2)]
+    quarter = jnp.asarray(0.25, r.dtype)
+    half = jnp.asarray(0.5, r.dtype)
+    core = lo * quarter + mid * half + hi * quarter
+    pad = [(0, 0)] * r.ndim
+    pad[axis] = (1, 1)
+    return jnp.pad(core, pad)
+
+
+def _prolong1(e, axis: int, m: int):
+    """Trilinear prolongation along one axis: fine inner 2c gets the coarse
+    value, odd fine inner points the mean of their two coarse neighbours
+    (zero shell supplies the wall ends).  Output has extent m+2 with a
+    zero shell along ``axis``."""
+    nd = e.ndim
+    sl = lambda s, e_: tuple(
+        slice(s, e_) if a == axis else slice(None) for a in range(nd)
+    )
+    mc = e.shape[axis] - 2
+    ec = e[sl(1, mc + 1)]  # coarse inner values
+    half = jnp.asarray(0.5, e.dtype)
+    # odd fine inner index 2c+1 for c=0..mc: (e[c] + e[c+1]) / 2 with the
+    # zero shell standing in for the walls
+    odd = (e[sl(0, mc + 1)] + e[sl(1, mc + 2)]) * half
+    # interleave: fine inner index 1..2mc+1 = odd[0], ec[0], odd[1], ...
+    inter = jnp.stack([odd[sl(0, mc)], ec], axis=axis + 1)
+    shp = list(ec.shape)
+    shp[axis] = 2 * mc
+    inter = inter.reshape(tuple(shp))
+    body = jnp.concatenate([inter, odd[sl(mc, mc + 1)]], axis=axis)
+    # fine extents not covered (m > 2mc+1, i.e. m even): those trailing
+    # inner points get 0 from the shell pad — they are one fine spacing
+    # past the last coarse node and the smoother owns them
+    pad = [(0, 0)] * nd
+    pad[axis] = (1, m + 1 - body.shape[axis])
+    return jnp.pad(body, pad)
+
+
+def restrict_fw(r, coarse_shape):
+    """27-point full-weighting (K, I, J) restriction onto ``coarse_shape``
+    (full extents, zero shell)."""
+    for ax in range(3):
+        r = _restrict1(r, ax, coarse_shape[ax] - 2)
+    return r
+
+
+def prolong(e, fine_shape):
+    """Trilinear (K, I, J) prolongation onto ``fine_shape`` (full extents,
+    zero shell)."""
+    for ax in range(3):
+        e = _prolong1(e, ax, fine_shape[ax] - 2)
+    return e
+
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    shape: tuple[int, int, int]  # full extents (K, I, J)
+    msk: jnp.ndarray
+    cmasks: tuple[jnp.ndarray, jnp.ndarray]
+
+
+def _inner_mask(shape, dtype):
+    m = np.zeros(shape, dtype=np.float64)
+    m[1:-1, 1:-1, 1:-1] = 1.0
+    return jnp.asarray(m, dtype=dtype)
+
+
+def build_levels(shape_kij, dtype, min_inner: int = 2) -> list[_Level]:
+    """Level hierarchy from the fine grid down to min(inner) <= min_inner."""
+    levels = []
+    shape = tuple(int(s) for s in shape_kij)
+    while True:
+        levels.append(
+            _Level(
+                shape=shape,
+                msk=_inner_mask(shape, dtype),
+                cmasks=stencil.color_masks(shape, dtype=dtype),
+            )
+        )
+        inner = [s - 2 for s in shape]
+        if min(inner) // 2 <= min_inner:
+            break
+        shape = tuple(m // 2 + 2 for m in inner)
+    return levels
+
+
+def make_mg_step(
+    grid: Grid,
+    omega: float = 1.0,
+    nu1: int = 1,
+    nu2: int = 1,
+    coarse_sweeps: int = 16,
+):
+    """Build ``step(x, b) -> (x_new, r2)``: one V(nu1, nu2) cycle plus the
+    Jacobi-equivalent residual (see module docstring).
+
+    ``omega`` relaxes the red-black smoother (1.0 is the standard smoothing
+    choice; over-relaxation trades smoothing for sweeping and is NOT the
+    right default here, unlike the standalone sor2sma solver).
+    """
+    levels = build_levels(grid.shape_kij, grid.dtype)
+    four = jnp.asarray(4.0, grid.dtype)
+    r6 = jnp.asarray(1.0 / 6.0, grid.dtype)
+
+    def smooth(x, b, lv: _Level, sweeps: int):
+        for _ in range(sweeps):
+            x, _ = stencil.sor2sma_sweep(x, b, lv.msk, omega, lv.cmasks)
+        return x
+
+    def vcycle(x, b, li: int):
+        lv = levels[li]
+        if li == len(levels) - 1:
+            return smooth(x, b, lv, coarse_sweeps)
+        x = smooth(x, b, lv, nu1)
+        r = calc_rk(x, b, lv.msk)
+        coarse = levels[li + 1]
+        bc = four * restrict_fw(r, coarse.shape) * coarse.msk
+        ec = vcycle(jnp.zeros(coarse.shape, x.dtype), bc, li + 1)
+        x = x + prolong(ec, lv.shape) * lv.msk
+        return smooth(x, b, lv, nu2)
+
+    def step(x, b):
+        x = vcycle(x, b, 0)
+        r = calc_rk(x, b, levels[0].msk) * r6
+        return x, jnp.sum(r * r)
+
+    return step

@@ -54,6 +54,9 @@ RELAX_SOLVERS = tuple(_CANON)
 ALL_SOLVERS = RELAX_SOLVERS + tuple(
     f"{k}_maf" for k in _CANON if k != "pcr_j_esa"
 ) + ("pbicgstab", "pbicgstab_maf")
+# beyond-reference extensions (documented in README); kept out of
+# ALL_SOLVERS, which is the reference-parity registry
+EXTENSION_SOLVERS = ("mg",)
 
 
 def parse_name(name: str):
@@ -62,6 +65,14 @@ def parse_name(name: str):
     base = n[: -len("_maf")] if is_maf else n
     if base == "pbicgstab":
         return "pbicgstab", is_maf
+    if base == "mg":
+        if is_maf:
+            raise ValueError(
+                "mg_maf is not implemented (constant-coefficient "
+                "multigrid only; use pbicgstab_maf for variable "
+                "coefficients)"
+            )
+        return "mg", False
     if base not in _CANON:
         raise ValueError(f"unknown solver '{name}'")
     return _CANON[base], is_maf
@@ -101,6 +112,11 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0)
     if is_maf and problem.mc is None:
         raise ValueError("MAF solver requested but Problem has no MafCoeffs")
     mc = problem.mc
+
+    if kind == "mg":
+        from .multigrid import make_mg_step
+
+        return make_mg_step(g, omega=omega)
 
     if kind == "jacobi":
         if is_maf:
