@@ -36,11 +36,14 @@ CONFIGS = [
     ("sor2sma_maf", 1.5, None),
     ("pcr_rb_maf", 1.5, None),
     ("pbicgstab_maf", 1.1, "sor2sma_maf"),
+    # extensions beyond the reference (README "Beyond the reference")
+    ("mg", 1.0, None),
+    ("pbicgstab", 1.1, "mg"),
 ]
 
 
 def main():
-    print(f"{'solver':<16}{'omega':>6}{'iters':>8}{'residual':>12}"
+    print(f"{'solver':<22}{'omega':>6}{'iters':>8}{'residual':>12}"
           f"{'err_max':>12}{'Mcells/s':>10}")
     for name, om, precond in CONFIGS:
         maf = name.endswith("_maf")
@@ -51,7 +54,8 @@ def main():
         dt = time.perf_counter() - t0
         err = max_error(prob.grid, r.x)
         cups = prob.grid.num_inner * r.iters / dt / 1e6
-        print(f"{name:<16}{om:>6}{r.iters:>8}{r.res:>12.3e}{err:>12.3e}"
+        label = f"{name}+{precond}" if precond else name
+        print(f"{label:<22}{om:>6}{r.iters:>8}{r.res:>12.3e}{err:>12.3e}"
               f"{cups:>10.1f}")
 
     # psor and pcr are exact wavefront Gauss-Seidel (point / line): O(N)
@@ -64,7 +68,7 @@ def main():
         jax.block_until_ready(r.x)
         dt = time.perf_counter() - t0
         err = max_error(prob.grid, r.x)
-        print(f"{name + ' (24^3)':<16}{om:>6}{r.iters:>8}{r.res:>12.3e}"
+        print(f"{name + ' (24^3)':<22}{om:>6}{r.iters:>8}{r.res:>12.3e}"
               f"{err:>12.3e}{prob.grid.num_inner * r.iters / dt / 1e6:>10.1f}")
 
 

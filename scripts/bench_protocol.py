@@ -40,6 +40,11 @@ CONFIGS = [
     ("pbicgstab+sor2sma 256^3", 256, "pbicgstab", 1.1, "sor2sma", 4000),
     ("sor2sma 256^3", 256, "sor2sma", 1.5, None, 20000),
     ("sor2sma 512^3", 512, "sor2sma", 1.5, None, 40000),
+    # extensions beyond the reference (README "Beyond the reference"):
+    # compare by WALL time-to-tolerance, not Mcells/s — one mg "iteration"
+    # is a whole V-cycle, so the per-iteration cell rate is meaningless
+    ("mg 128^3 (extension)", 128, "mg", 1.0, None, 100),
+    ("pbicgstab+mg 128^3 (extension)", 128, "pbicgstab", 1.1, "mg", 100),
 ]
 
 
