@@ -54,32 +54,43 @@ def _error_json(msg: str) -> str:
     )
 
 
-def _probe_device(timeout_s: int = 90, retries: int = 8) -> bool:
-    """True if the backend answers a trivial op within timeout_s (retrying —
-    wedges sometimes clear in minutes).  The probe runs in a SUBPROCESS:
-    a call blocked on the wedged axon tunnel never re-enters the Python
-    interpreter, so an in-process SIGALRM handler never fires (measured:
-    a 120 s alarm still hanging at 400 s).  A child we can kill is the only
-    reliable guard, and killing it cannot wedge this process, which has not
-    touched the device yet."""
+def _probe_device(timeout_s: int = 90, retries: int = 8):
+    """None if the backend answers a trivial op within timeout_s (retrying —
+    wedges sometimes clear in minutes), else a failure-reason string.  The
+    probe runs in a SUBPROCESS: a call blocked on the wedged axon tunnel
+    never re-enters the Python interpreter, so an in-process SIGALRM
+    handler never fires (measured: a 120 s alarm still hanging at 400 s).
+    A child we can kill is the only reliable guard, and killing it cannot
+    wedge this process, which has not touched the device yet.
+
+    A crash (nonzero exit) is NOT a wedge: it reproduces fast, so after a
+    second identical failure the last stderr lines are returned instead of
+    burning the remaining retries sleeping on a broken install."""
     import subprocess
     import sys
 
     code = "import jax, jax.numpy as jnp; " \
            "jax.block_until_ready(jnp.ones((8, 8)).sum())"
+    crashes = 0
+    reason = "unreachable"
     for i in range(retries):
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code], timeout=timeout_s,
-                capture_output=True,
+                capture_output=True, text=True,
             )
             if r.returncode == 0:
-                return True
+                return None
+            crashes += 1
+            tail = (r.stderr or "").strip().splitlines()[-3:]
+            reason = f"probe exited {r.returncode}: " + " | ".join(tail)
+            if crashes >= 2:
+                return reason
         except subprocess.TimeoutExpired:
-            pass
+            reason = f"device unreachable (tunnel wedged? {timeout_s}s probe)"
         if i < retries - 1:
             time.sleep(30)
-    return False
+    return reason
 
 
 def main():
@@ -88,8 +99,11 @@ def main():
     from cubez_tpu.solvers.driver import fixed_sweeps
     from cubez_tpu.solvers.steps import make_step
 
-    if not _probe_device():
-        print(_error_json("device unreachable (tunnel wedged?)"))
+    # the parent watchdog already probed with retries; one quick recheck
+    # covers a wedge that started in between
+    why = _probe_device(retries=1)
+    if why is not None:
+        print(_error_json(why))
         return
 
     prob = Problem.poisson_cube(N, dtype=jnp.float32)
@@ -210,13 +224,24 @@ def _main_with_watchdog():
     """Run main() in a killable child: if the tunnel wedges MID-bench, the
     blocked device call never returns to the interpreter and no in-process
     guard can fire.  The child inherits stdout, so on success its JSON line
-    is the output; on timeout we kill it and print the error line."""
+    is the output; on timeout we kill it and print the error line.
+
+    The retrying probe runs HERE in the parent (its ~16-minute worst case
+    must not eat the child's 30-minute bench budget), before any device
+    contact.  Contract: exactly one JSON line is always printed and the
+    exit code is always 0 — failures are reported in-band via the "error"
+    field (the driver parses stdout; a nonzero exit could make it discard
+    the line entirely)."""
     import os
     import subprocess
     import sys
 
     if os.environ.get("CZ_BENCH_INNER") == "1":
         main()
+        return
+    why = _probe_device()
+    if why is not None:
+        print(_error_json(why))
         return
     env = dict(os.environ, CZ_BENCH_INNER="1")
     try:

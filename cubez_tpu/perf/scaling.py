@@ -27,6 +27,10 @@ class ScalePoint:
     global_shape: tuple
     iters: int
     seconds: float
+    # which step implementation actually ran ("fused" per-block Pallas or
+    # the explicit shard_map "jnp" step) — the fused path can decline to
+    # build (no viable tiling), so callers/tests must not assume it ran
+    step_impl: str = "jnp"
 
     @property
     def cells_per_s(self) -> float:
@@ -79,6 +83,7 @@ def weak_scaling(
                 interpret=not on_tpu,
             )
         if step is not None:
+            step_impl = "fused"
             to_state = (
                 dist_fused.to_line_block_state if line
                 else dist_fused.to_block_state
@@ -86,6 +91,7 @@ def weak_scaling(
             x = to_state(cm, prob.x0)
             b = to_state(cm, prob.rhs)
         else:
+            step_impl = "jnp"
             step = make_dist_step(prob, cm, solver, omega)
             x = cm.shard(prob.x0)
             b = cm.shard(prob.rhs)
@@ -106,7 +112,8 @@ def weak_scaling(
         dt = time.perf_counter() - t0
         points.append(
             ScalePoint(
-                n_devices=n, div=div, global_shape=gsize, iters=iters, seconds=dt
+                n_devices=n, div=div, global_shape=gsize, iters=iters,
+                seconds=dt, step_impl=step_impl,
             )
         )
     return points

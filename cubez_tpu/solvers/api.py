@@ -65,13 +65,6 @@ def solve(
     kind, is_maf = steps_mod.parse_name(solver)
     g = problem.grid
 
-    if kind == "mg" and check_every is None:
-        # one "iteration" is a whole V-cycle (solvers/multigrid.py): the
-        # per-cycle cost dwarfs the convergence-check overhead, and the
-        # TPU default chunk of 16 would run up to 15 surplus cycles on a
-        # solve that converges in ~10
-        check_every = 2
-
     if kind == "pbicgstab":
         from .fused_cache import get_bicgstab
 

@@ -115,6 +115,10 @@ def _run_loop_chunked(step, x0, b, res_normal, eps, itr_max: int, apply_bc,
     # kernels, sweeps2x.py) and return an (ipc,) residual vector
     ipc = getattr(step, "iters_per_call", 1)
     chunk = max(ipc, -(-chunk // ipc) * ipc)
+    # never a chunk longer than the whole run: a rate run (itr_max=3)
+    # under the TPU default chunk of 16 would execute 16 sweeps and
+    # attribute the wall time to 3 iterations
+    chunk = min(chunk, max(ipc, -(-itr_max // ipc) * ipc))
     nchunks = -(-itr_max // chunk)
     total = nchunks * chunk
     hist0 = jnp.zeros((total,), rdt)
@@ -189,7 +193,9 @@ def run_iterative(
     stopping chunk.
     """
     if check_every is None:
-        check_every = 16 if jax.default_backend() == "tpu" else 1
+        check_every = getattr(step, "check_every_default", None) or (
+            16 if jax.default_backend() == "tpu" else 1
+        )
     if getattr(step, "iters_per_call", 1) > 1:
         check_every = max(check_every, 2)  # multi-iteration steps need chunks
     if check_every > 1:

@@ -95,11 +95,12 @@ def _prolong1(e, axis: int, m: int):
     shp[axis] = 2 * mc
     inter = inter.reshape(tuple(shp))
     body = jnp.concatenate([inter, odd[sl(mc, mc + 1)]], axis=axis)
-    # fine extents not covered (m > 2mc+1, i.e. m even): those trailing
-    # inner points get 0 from the shell pad — they are one fine spacing
-    # past the last coarse node and the smoother owns them
+    # body covers fine inner 1..2mc+1.  For even m that last position is
+    # the WALL (2mc+1 = m+1): truncate to the m inner entries so the
+    # documented zero shell holds; for odd m (2mc+1 = m) this is a no-op.
+    body = body[sl(0, m)]
     pad = [(0, 0)] * nd
-    pad[axis] = (1, m + 1 - body.shape[axis])
+    pad[axis] = (1, 1)
     return jnp.pad(body, pad)
 
 
@@ -191,4 +192,9 @@ def make_mg_step(
         r = calc_rk(x, b, levels[0].msk) * r6
         return x, jnp.sum(r * r)
 
+    # one "iteration" is a whole V-cycle: its cost dwarfs the convergence
+    # check, and the driver's TPU default chunk of 16 would run up to 15
+    # surplus cycles on a solve that converges in ~6 (run_iterative
+    # consults this hint for both solve() and solve_dist())
+    step.check_every_default = 2
     return step

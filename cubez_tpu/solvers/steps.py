@@ -74,15 +74,23 @@ def parse_name(name: str):
             )
         return "mg", False
     if base not in _CANON:
-        raise ValueError(f"unknown solver '{name}'")
+        raise ValueError(
+            f"unknown solver '{name}' (known: "
+            f"{', '.join(ALL_SOLVERS + EXTENSION_SOLVERS)})"
+        )
     return _CANON[base], is_maf
 
 
 def _named(label, fn):
     """Tag the step's ops for profiler traces — the NVTX/FAPP-range
-    equivalent (PUSH_RANGE/POP_RANGE, cz.h:46-74; fapp_start, cz.h:513)."""
+    equivalent (PUSH_RANGE/POP_RANGE, cz.h:46-74; fapp_start, cz.h:513).
+    Step attributes (iters_per_call, check_every_default, ...) carry
+    through: the drivers consult them on whatever callable they receive."""
+    import functools
+
     import jax
 
+    @functools.wraps(fn)
     def wrapped(*args):
         with jax.named_scope(label):
             return fn(*args)
@@ -95,7 +103,15 @@ def make_step(problem: Problem, name: str, omega: float, color_offset: int = 0):
 
     Steps are wrapped in a jax.named_scope with the solver name so device
     profiles group per-solver kernels like the reference's PMlib labels."""
-    return _named(name, _make_step(problem, name, omega, color_offset))
+    step = _named(name, _make_step(problem, name, omega, color_offset))
+    kind, _ = parse_name(name)
+    if kind in ("psor", "pcr_gs"):
+        # wavefront-exact sweeps cost O(N) sequential passes each — the
+        # convergence-check overhead the chunked loop amortizes is noise
+        # next to one sweep, so check every iteration (also keeps rate
+        # runs from executing surplus sweeps past itr_max)
+        step.check_every_default = 1
+    return step
 
 
 def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0):
@@ -114,8 +130,20 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0)
     mc = problem.mc
 
     if kind == "mg":
+        import numpy as np
+
         from .multigrid import make_mg_step
 
+        # the V-cycle builds its own level masks from the grid alone; a
+        # Problem carrying a non-standard mask (obstacle/void nodes) would
+        # silently solve the unmasked problem — coarsening such masks is
+        # out of scope, so reject instead
+        if problem.msk is not g.inner_mask and not np.array_equal(
+            np.asarray(problem.msk), np.asarray(g.inner_mask)
+        ):
+            raise ValueError(
+                "mg supports the standard cube inner mask only"
+            )
         return make_mg_step(g, omega=omega)
 
     if kind == "jacobi":

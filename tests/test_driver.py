@@ -62,6 +62,23 @@ def test_chunked_final_chunk_overshoot_respects_itr_max():
     assert len(rc.history) == itr_max
 
 
+def test_chunk_clamped_to_itr_max():
+    """A rate run (tiny itr_max, unreachable eps) must execute exactly
+    itr_max sweeps even when check_every exceeds it — the returned field
+    equals the per-iteration run's, not 'itr_max counted out of a full
+    chunk of surplus sweeps' (which silently under-reported the psor/pcr
+    per-iteration rates by ~5x under the TPU default chunk of 16)."""
+    prob = Problem.poisson_cube(16)
+    step = get_jnp_step(prob, "jacobi", 0.8)
+    g = prob.grid
+    r1 = run_iterative(step, prob.x0, prob.rhs, g.res_normal, 3,
+                       eps=1e-30, check_every=1)
+    r16 = run_iterative(step, prob.x0, prob.rhs, g.res_normal, 3,
+                        eps=1e-30, check_every=16)
+    assert r1.iters == r16.iters == 3
+    assert (np.asarray(r1.x) == np.asarray(r16.x)).all()
+
+
 def test_eps_1e6_f32_iteration_parity_with_f64():
     """BASELINE's stricter 1e-6 tolerance: the f32 path must reach it with
     the same iteration count as the f64 oracle (residual accumulation is

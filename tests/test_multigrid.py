@@ -56,6 +56,27 @@ def test_prolong_exact_on_coarse_points():
         )
     # odd fine index between coarse 1 and 2 along axis 0
     assert ef[3, 2, 2] == pytest.approx(0.5 * (ec[1, 1, 1] + ec[2, 1, 1]))
+    # zero shell holds even when the inner extent is even (the last odd
+    # interpolant would otherwise land on the wall index)
+    for face in (ef[0], ef[-1], ef[:, 0], ef[:, -1], ef[:, :, 0],
+                 ef[:, :, -1]):
+        assert np.abs(face).max() == 0.0
+
+
+def test_mg_custom_mask_rejected():
+    import dataclasses
+
+    prob = Problem.poisson_cube(16)
+    bad = prob.msk.at[8, 8, 8].set(0.0)
+    with pytest.raises(ValueError, match="mask"):
+        solve(dataclasses.replace(prob, msk=bad), "mg", 1.0, 10)
+
+
+def test_mg_step_carries_check_every_hint():
+    from cubez_tpu.solvers.steps import make_step
+
+    step = make_step(Problem.poisson_cube(16), "mg", 1.0)
+    assert step.check_every_default == 2  # survives the named_scope wrapper
 
 
 # ---- V-cycle convergence ---------------------------------------------------

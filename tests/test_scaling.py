@@ -26,6 +26,9 @@ def test_weak_scaling_runs_production_paths(impl, solver):
     assert [p.n_devices for p in pts] == [1, 2]
     for p in pts:
         assert p.seconds > 0 and p.cells_per_s > 0
+        # the harness must not silently fall back: the point records which
+        # step implementation actually ran
+        assert p.step_impl == impl
     # 2-device point doubles the global grid along one axis
     assert sorted(pts[1].global_shape) != sorted(pts[0].global_shape)
     eff = scaling.efficiency(pts)
