@@ -158,6 +158,9 @@ def make_mg_step(
     nu1: int = 1,
     nu2: int = 1,
     coarse_sweeps: int = 16,
+    smoother: str = "auto",
+    b_is_zero: bool = False,
+    interpret: bool = False,
 ):
     """Build ``step(x, b) -> (x_new, r2)``: one V(nu1, nu2) cycle plus the
     Jacobi-equivalent residual (see module docstring).
@@ -165,12 +168,45 @@ def make_mg_step(
     ``omega`` relaxes the red-black smoother (1.0 is the standard smoothing
     choice; over-relaxation trades smoothing for sweeping and is NOT the
     right default here, unlike the standalone sor2sma solver).
+
+    ``smoother``: 'xla' (masked jnp sweeps everywhere) or 'fused' (the
+    finest level smooths through the fused Pallas red-black kernel,
+    pallas_kernels/sweeps.py — same math as the XLA sweep to within FMA
+    contraction, <1e-6 per sweep like the impl='pallas' solvers; coarse
+    levels are small and stay XLA).  'auto' picks 'fused' on the TPU
+    backend for f32.  ``b_is_zero`` lets the fused smoother skip streaming
+    the RHS (one less HBM pass; the standard Laplace problem qualifies).
     """
+    import jax
+
     levels = build_levels(grid.shape_kij, grid.dtype)
     four = jnp.asarray(4.0, grid.dtype)
     r6 = jnp.asarray(1.0 / 6.0, grid.dtype)
 
-    def smooth(x, b, lv: _Level, sweeps: int):
+    fused0 = None
+    if smoother == "fused" or (
+        smoother == "auto"
+        and jax.default_backend() == "tpu"
+        and grid.dtype == jnp.float32
+    ):
+        from ..pallas_kernels import sweeps as fused_sweeps
+
+        fused0 = fused_sweeps.make_fused_sweep(
+            "sor2sma", grid.shape_kij, grid.dtype, omega=omega,
+            b_is_zero=b_is_zero, interpret=interpret,
+        )
+        if fused0 is None and smoother == "fused":
+            raise ValueError("no viable fused-smoother tiling for this grid")
+
+    def smooth(x, b, lv: _Level, sweeps: int, li: int):
+        if li == 0 and fused0 is not None:
+            from ..pallas_kernels.sweeps import pad_k2, unpad_k2
+
+            xp = pad_k2(x)
+            bp = xp if b_is_zero else pad_k2(b)  # ignored when b_is_zero
+            for _ in range(sweeps):
+                xp, _ = fused0(xp, bp)
+            return unpad_k2(xp, lv.shape)
         for _ in range(sweeps):
             x, _ = stencil.sor2sma_sweep(x, b, lv.msk, omega, lv.cmasks)
         return x
@@ -178,14 +214,14 @@ def make_mg_step(
     def vcycle(x, b, li: int):
         lv = levels[li]
         if li == len(levels) - 1:
-            return smooth(x, b, lv, coarse_sweeps)
-        x = smooth(x, b, lv, nu1)
+            return smooth(x, b, lv, coarse_sweeps, li)
+        x = smooth(x, b, lv, nu1, li)
         r = calc_rk(x, b, lv.msk)
         coarse = levels[li + 1]
         bc = four * restrict_fw(r, coarse.shape) * coarse.msk
         ec = vcycle(jnp.zeros(coarse.shape, x.dtype), bc, li + 1)
         x = x + prolong(ec, lv.shape) * lv.msk
-        return smooth(x, b, lv, nu2)
+        return smooth(x, b, lv, nu2, li)
 
     def step(x, b):
         x = vcycle(x, b, 0)

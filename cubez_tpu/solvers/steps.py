@@ -144,7 +144,17 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0)
             raise ValueError(
                 "mg supports the standard cube inner mask only"
             )
-        return make_mg_step(g, omega=omega)
+        # sharded (auto-SPMD) runs must keep the pure-jnp smoother: GSPMD
+        # cannot partition a Pallas custom call
+        sharded = (
+            getattr(problem.x0, "sharding", None) is not None
+            and getattr(problem.x0.sharding, "num_devices", 1) > 1
+        )
+        return make_mg_step(
+            g, omega=omega,
+            smoother="xla" if sharded else "auto",
+            b_is_zero=problem.rhs_is_inner_zero(),
+        )
 
     if kind == "jacobi":
         if is_maf:

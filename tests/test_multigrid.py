@@ -131,6 +131,33 @@ def test_mg_maf_rejected():
         solve(Problem.poisson_cube(16, maf=True), "mg_maf", 1.0, 10)
 
 
+def test_mg_fused_smoother_matches_xla():
+    """The fused-Pallas fine-level smoother (TPU production path) matches
+    the XLA smoother to FMA-contraction rounding (the same <1e-6/sweep
+    bound test_pallas_sweeps pins for the standalone solvers), and the
+    solve converges identically (same cycle count)."""
+    prob = Problem.poisson_cube(24)
+    sx = mg.make_mg_step(prob.grid, omega=1.0)  # xla (auto off-TPU)
+    sf = mg.make_mg_step(
+        prob.grid, omega=1.0, smoother="fused", b_is_zero=True,
+        interpret=True,
+    )
+    x1, b = prob.x0, prob.rhs
+    x2 = x1
+    for _ in range(2):
+        x1, r1 = jax.jit(sx)(x1, b)
+        x2, r2 = jax.jit(sf)(x2, b)
+    assert float(jnp.max(jnp.abs(x1 - x2))) < 1e-6
+    assert float(r1) == pytest.approx(float(r2), rel=1e-4)
+
+    from cubez_tpu.solvers.driver import run_iterative
+
+    g = prob.grid
+    cx = run_iterative(sx, prob.x0, prob.rhs, g.res_normal, 50)
+    cf = run_iterative(sf, prob.x0, prob.rhs, g.res_normal, 50)
+    assert cx.iters == cf.iters
+
+
 # ---- distributed -----------------------------------------------------------
 
 
