@@ -113,12 +113,13 @@ def make_bicgstab(
     if precond and precond.lower() not in ("none", "copy"):
         # one V-cycle is the canonical multigrid preconditioner (extension;
         # the reference's fixed-8 rule applies to its single-level sweeps)
-        nsw = 1 if precond.lower() == "mg" else PRECOND_SWEEPS
+        p_is_mg = steps_mod.parse_name(precond)[0] == "mg"
+        nsw = 1 if p_is_mg else PRECOND_SWEEPS
         precon = _fused_precon(problem, precond, omega_accel, impl, cmesh)
         if precon is None:
-            pstep = steps_mod.make_step(problem, precond, 1.0
-                                        if precond.lower() == "mg"
-                                        else omega_accel)
+            pstep = steps_mod.make_step(
+                problem, precond, 1.0 if p_is_mg else omega_accel
+            )
             precon = lambda bb: fixed_sweeps(
                 pstep, jnp.zeros_like(bb), bb, nsw
             )

@@ -125,6 +125,7 @@ class _Level:
     shape: tuple[int, int, int]  # full extents (K, I, J)
     msk: jnp.ndarray
     cmasks: tuple[jnp.ndarray, jnp.ndarray]
+    mc: object = None  # MafCoeffs for the variable-coefficient cycle
 
 
 def _inner_mask(shape, dtype):
@@ -133,21 +134,52 @@ def _inner_mask(shape, dtype):
     return jnp.asarray(m, dtype=dtype)
 
 
-def build_levels(shape_kij, dtype, min_inner: int = 2) -> list[_Level]:
-    """Level hierarchy from the fine grid down to min(inner) <= min_inner."""
+def _coarsen_coords(c, m: int):
+    """Coordinates of the coarse nodes along one axis: the walls plus the
+    fine nodes 2c (c = 1..m//2).  For even fine inner extent the last
+    coarse node sits one FINE spacing from the wall; MafCoeffs.from_coords
+    derives the metric from the actual spacings, so the variable-
+    coefficient coarse operator is geometry-exact there (the constant-
+    coefficient cycle treats it as a regular H-spaced node instead —
+    module docstring)."""
+    mcc = m // 2
+    return jnp.concatenate([c[0:1], c[2 : 2 * mcc + 1 : 2], c[-1:]])
+
+
+def build_levels(shape_kij, dtype, min_inner: int = 2,
+                 coords=None) -> list[_Level]:
+    """Level hierarchy from the fine grid down to min(inner) <= min_inner.
+
+    ``coords``: optional (zc, xc, yc) 1D node-coordinate arrays matching
+    the (K, I, J) axes — builds a MafCoeffs per level (variable-
+    coefficient cycle) from the coarsened coordinates."""
+    from ..ops.maf import MafCoeffs
+
     levels = []
     shape = tuple(int(s) for s in shape_kij)
     while True:
+        mc = None
+        if coords is not None:
+            zc, xc, yc = coords
+            mc = MafCoeffs.from_coords(xc, yc, zc)
         levels.append(
             _Level(
                 shape=shape,
                 msk=_inner_mask(shape, dtype),
                 cmasks=stencil.color_masks(shape, dtype=dtype),
+                mc=mc,
             )
         )
         inner = [s - 2 for s in shape]
         if min(inner) // 2 <= min_inner:
             break
+        if coords is not None:
+            zc, xc, yc = coords
+            coords = (
+                _coarsen_coords(zc, inner[0]),
+                _coarsen_coords(xc, inner[1]),
+                _coarsen_coords(yc, inner[2]),
+            )
         shape = tuple(m // 2 + 2 for m in inner)
     return levels
 
@@ -161,6 +193,7 @@ def make_mg_step(
     smoother: str = "auto",
     b_is_zero: bool = False,
     interpret: bool = False,
+    maf: bool = False,
 ):
     """Build ``step(x, b) -> (x_new, r2)``: one V(nu1, nu2) cycle plus the
     Jacobi-equivalent residual (see module docstring).
@@ -176,12 +209,29 @@ def make_mg_step(
     levels are small and stay XLA).  'auto' picks 'fused' on the TPU
     backend for f32.  ``b_is_zero`` lets the fused smoother skip streaming
     the RHS (one less HBM pass; the standard Laplace problem qualifies).
+
+    ``maf``: variable-coefficient (metric) cycle.  Each level's operator is
+    a MafCoeffs built from the COARSENED coordinate arrays
+    (cz_maf.f90:68-101 metrics on the level's actual node spacings), the
+    smoother is the MAF red-black sweep, and — because the metric operator
+    carries its own 1/H^2 scaling — the restricted residual transfers with
+    NO factor 4 (fine equation: dd*x - rp = b; defect: dd*e - rp(e) = r).
+    The stopping residual is the omega=1 Jacobi-equivalent update r/dd.
     """
     import jax
 
-    levels = build_levels(grid.shape_kij, grid.dtype)
+    from ..ops import maf as maf_ops
+
+    coords = (grid.zc, grid.xc, grid.yc) if maf else None
+    levels = build_levels(grid.shape_kij, grid.dtype, coords=coords)
     four = jnp.asarray(4.0, grid.dtype)
     r6 = jnp.asarray(1.0 / 6.0, grid.dtype)
+
+    def residual(x, b, lv: _Level):
+        if maf:
+            ax = lv.mc.dd * x - lv.mc.nbr_weighted(x)  # no pvt: see below
+            return (b - ax) * lv.msk
+        return calc_rk(x, b, lv.msk)
 
     fused0 = None
     if smoother == "fused" or (
@@ -194,6 +244,7 @@ def make_mg_step(
         fused0 = fused_sweeps.make_fused_sweep(
             "sor2sma", grid.shape_kij, grid.dtype, omega=omega,
             b_is_zero=b_is_zero, interpret=interpret,
+            mc=levels[0].mc if maf else None,
         )
         if fused0 is None and smoother == "fused":
             raise ValueError("no viable fused-smoother tiling for this grid")
@@ -208,7 +259,12 @@ def make_mg_step(
                 xp, _ = fused0(xp, bp)
             return unpad_k2(xp, lv.shape)
         for _ in range(sweeps):
-            x, _ = stencil.sor2sma_sweep(x, b, lv.msk, omega, lv.cmasks)
+            if maf:
+                x, _ = maf_ops.sor2sma_maf_sweep(
+                    x, b, lv.msk, omega, lv.mc, lv.cmasks
+                )
+            else:
+                x, _ = stencil.sor2sma_sweep(x, b, lv.msk, omega, lv.cmasks)
         return x
 
     def vcycle(x, b, li: int):
@@ -216,16 +272,20 @@ def make_mg_step(
         if li == len(levels) - 1:
             return smooth(x, b, lv, coarse_sweeps, li)
         x = smooth(x, b, lv, nu1, li)
-        r = calc_rk(x, b, lv.msk)
+        r = residual(x, b, lv)
         coarse = levels[li + 1]
-        bc = four * restrict_fw(r, coarse.shape) * coarse.msk
+        bc = restrict_fw(r, coarse.shape) * coarse.msk
+        if not maf:
+            bc = four * bc
         ec = vcycle(jnp.zeros(coarse.shape, x.dtype), bc, li + 1)
         x = x + prolong(ec, lv.shape) * lv.msk
         return smooth(x, b, lv, nu2, li)
 
     def step(x, b):
         x = vcycle(x, b, 0)
-        r = calc_rk(x, b, levels[0].msk) * r6
+        lv0 = levels[0]
+        r = residual(x, b, lv0)
+        r = r / lv0.mc.dd if maf else r * r6
         return x, jnp.sum(r * r)
 
     # one "iteration" is a whole V-cycle: its cost dwarfs the convergence

@@ -56,7 +56,7 @@ ALL_SOLVERS = RELAX_SOLVERS + tuple(
 ) + ("pbicgstab", "pbicgstab_maf")
 # beyond-reference extensions (documented in README); kept out of
 # ALL_SOLVERS, which is the reference-parity registry
-EXTENSION_SOLVERS = ("mg",)
+EXTENSION_SOLVERS = ("mg", "mg_maf")
 
 
 def parse_name(name: str):
@@ -66,13 +66,7 @@ def parse_name(name: str):
     if base == "pbicgstab":
         return "pbicgstab", is_maf
     if base == "mg":
-        if is_maf:
-            raise ValueError(
-                "mg_maf is not implemented (constant-coefficient "
-                "multigrid only; use pbicgstab_maf for variable "
-                "coefficients)"
-            )
-        return "mg", False
+        return "mg", is_maf
     if base not in _CANON:
         raise ValueError(
             f"unknown solver '{name}' (known: "
@@ -144,6 +138,20 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0)
             raise ValueError(
                 "mg supports the standard cube inner mask only"
             )
+        if is_maf:
+            # the level hierarchy derives its operators from the grid's
+            # coordinate arrays; a Problem carrying coefficients from OTHER
+            # coords would get the wrong coarse operators
+            ref = type(mc).from_coords(g.xc, g.yc, g.zc)
+            if not all(
+                np.array_equal(np.asarray(getattr(mc, f)),
+                               np.asarray(getattr(ref, f)))
+                for f in ("c1", "c7", "c2", "c8", "c3", "c9")
+            ):
+                raise ValueError(
+                    "mg_maf requires MafCoeffs built from the grid's own "
+                    "coordinate arrays"
+                )
         # sharded (auto-SPMD) runs must keep the pure-jnp smoother: GSPMD
         # cannot partition a Pallas custom call
         sharded = (
@@ -154,6 +162,7 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0)
             g, omega=omega,
             smoother="xla" if sharded else "auto",
             b_is_zero=problem.rhs_is_inner_zero(),
+            maf=is_maf,
         )
 
     if kind == "jacobi":

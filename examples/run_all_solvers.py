@@ -38,7 +38,9 @@ CONFIGS = [
     ("pbicgstab_maf", 1.1, "sor2sma_maf"),
     # extensions beyond the reference (README "Beyond the reference")
     ("mg", 1.0, None),
+    ("mg_maf", 1.0, None),
     ("pbicgstab", 1.1, "mg"),
+    ("pbicgstab_maf", 1.1, "mg_maf"),
 ]
 
 
