@@ -41,6 +41,11 @@ methods, so ``mg`` stops on the omega=1 Jacobi-equivalent update
 ``RMS((b - A x)/6)`` — the dp a unit-omega point sweep would take from
 the current iterate.  This makes eps directly comparable with the
 reference's jacobi criterion and is computed AFTER each cycle.
+
+The variable-coefficient cycle (solver name ``mg_maf``) swaps in the MAF
+metric operator per level — see :func:`make_mg_step` (``maf=True``) for
+the convention differences (operator from coarsened coordinates, no
+factor 4 on the residual transfer, stopping update r/dd).
 """
 
 from __future__ import annotations
