@@ -151,7 +151,8 @@ def main(argv=None):
         from .perf.profile import profile_solve
 
         pm = profile_solve(
-            prob, args.solver if kind not in ("pbicgstab", "mg") else "sor2sma",
+            prob,
+            args.solver if kind not in ("pbicgstab", "cg", "mg") else "sor2sma",
             omega=args.coef, iters=min(50, max(res.iters, 1)), cmesh=cm,
             impl=args.impl,
         )

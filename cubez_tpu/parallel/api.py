@@ -53,13 +53,11 @@ def solve_dist(
     g = problem.grid
     kind, is_maf = parse_name(solver)
 
-    if kind == "pbicgstab":
+    if kind in ("pbicgstab", "cg"):
         # Krylov vectors stay sharded fields (dots lower to psum
         # all-reduces under GSPMD); the preconditioner runs the fused
         # per-block sweeps (bicgstab._fused_precon with cmesh)
         import dataclasses
-
-        from ..solvers.bicgstab import make_bicgstab
 
         prob_sh = dataclasses.replace(
             problem,
@@ -67,8 +65,15 @@ def solve_dist(
             rhs=cmesh.shard(problem.rhs),
             msk=cmesh.shard(problem.msk),
         )
-        run = make_bicgstab(prob_sh, solver, omega, precond, impl,
-                            cmesh=cmesh)
+        if kind == "cg":
+            from ..solvers.cg import make_cg
+
+            run = make_cg(prob_sh, omega, precond, impl, cmesh=cmesh)
+        else:
+            from ..solvers.bicgstab import make_bicgstab
+
+            run = make_bicgstab(prob_sh, solver, omega, precond, impl,
+                                cmesh=cmesh)
         result = run(prob_sh.x0, prob_sh.rhs, itr_max, eps, g.res_normal)
         if history_path:
             result.write_history(history_path)

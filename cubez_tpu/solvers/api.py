@@ -73,6 +73,13 @@ def solve(
             "jnp" if _sharded(problem) else impl,
         )
         result = run(problem.x0, problem.rhs, itr_max, eps, g.res_normal)
+    elif kind == "cg":
+        from .fused_cache import get_cg
+
+        run = get_cg(
+            problem, omega, precond, "jnp" if _sharded(problem) else impl
+        )
+        result = run(problem.x0, problem.rhs, itr_max, eps, g.res_normal)
     elif _can_fuse(problem, kind, is_maf, impl):
         from .fused_cache import get_fused_step, pad_unpad
 

@@ -116,6 +116,20 @@ def get_bicgstab(problem, solver: str, omega: float, precond, impl: str):
     return run
 
 
+def get_cg(problem, omega: float, precond, impl: str):
+    """Build-or-fetch the jitted CG runner (same identity-keyed caching as
+    get_bicgstab; the shared _BICG_CACHE is keyed by solver name)."""
+    from .cg import make_cg
+
+    key = (id(problem), "cg", float(omega), precond, impl)
+    ent = _BICG_CACHE.get(key)
+    if ent is not None and ent[0] is problem:
+        return ent[1]
+    run = make_cg(problem, omega, precond, impl=impl)
+    _BICG_CACHE[key] = (problem, run)
+    return run
+
+
 _JNP_CACHE: dict = {}
 
 

@@ -56,7 +56,7 @@ ALL_SOLVERS = RELAX_SOLVERS + tuple(
 ) + ("pbicgstab", "pbicgstab_maf")
 # beyond-reference extensions (documented in README); kept out of
 # ALL_SOLVERS, which is the reference-parity registry
-EXTENSION_SOLVERS = ("mg", "mg_maf")
+EXTENSION_SOLVERS = ("mg", "mg_maf", "cg")
 
 
 def parse_name(name: str):
@@ -65,6 +65,8 @@ def parse_name(name: str):
     base = n[: -len("_maf")] if is_maf else n
     if base == "pbicgstab":
         return "pbicgstab", is_maf
+    if base == "cg":
+        return "cg", is_maf
     if base == "mg":
         return "mg", is_maf
     if base not in _CANON:
@@ -112,6 +114,8 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0)
     kind, is_maf = parse_name(name)
     if kind == "pbicgstab":
         raise ValueError("pbicgstab is a driver, not a sweep; see bicgstab.py")
+    if kind == "cg":
+        raise ValueError("cg is a driver, not a sweep; see cg.py")
 
     g = problem.grid
     msk = problem.msk

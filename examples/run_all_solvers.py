@@ -41,6 +41,8 @@ CONFIGS = [
     ("mg_maf", 1.0, None),
     ("pbicgstab", 1.1, "mg"),
     ("pbicgstab_maf", 1.1, "mg_maf"),
+    ("cg", 0.8, None),
+    ("cg", 0.8, "jacobi"),
 ]
 
 

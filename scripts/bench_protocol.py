@@ -45,6 +45,7 @@ CONFIGS = [
     # is a whole V-cycle, so the per-iteration cell rate is meaningless
     ("mg 128^3 (extension)", 128, "mg", 1.0, None, 100),
     ("pbicgstab+mg 128^3 (extension)", 128, "pbicgstab", 1.1, "mg", 100),
+    ("cg+jacobi 128^3 (extension)", 128, "cg", 0.8, "jacobi", 4000),
 ]
 
 
@@ -193,6 +194,19 @@ EVIDENCE = """
   vectorized simultaneous updates and the oracle's in-place loop moves the
   crossing by O(10) iterations; in f64 the counts match exactly (see the
   f64 rows above and tests/test_ref_parity.py).
+
+## MAF line-solver cost ratio
+
+The inherent bound on pcr_rb_maf vs pcr_rb is 2x: the constant-coefficient
+line solve is ONE dense MXU matmul per color (x = T^-1 d, the inverse
+premultiplied at build time), while the variable-coefficient
+fast-diagonalization solve needs TWO (w = V^-1 d, then x = V(w/(mu+lam)));
+the middle diagonal depends on both the line (lambda_ij, lanes) and k
+(mu_k, sublanes), so it cannot be folded into either matmul.  At 128^3 the
+measured kernel is MXU-bound (~20 TFLOP/s f32 through Precision.HIGHEST),
+so a ratio under 2x means the extra matmul partially hides under the HBM
+stream — and it is far inside the reference's own MAF cost (66 flop/pt
+recomputed metrics vs these precomputed separable tables).
 """
 
 
