@@ -118,7 +118,8 @@ def make_bicgstab(
         precon = _fused_precon(problem, precond, omega_accel, impl, cmesh)
         if precon is None:
             pstep = steps_mod.make_step(
-                problem, precond, 1.0 if p_is_mg else omega_accel
+                problem, precond, 1.0 if p_is_mg else omega_accel,
+                b_arg_is_problem_rhs=False,
             )
             precon = lambda bb: fixed_sweeps(
                 pstep, jnp.zeros_like(bb), bb, nsw

@@ -60,7 +60,8 @@ def make_cg(
             )
         precon = _fused_precon(problem, precond, omega_accel, impl, cmesh)
         if precon is None:
-            pstep = steps_mod.make_step(problem, precond, omega_accel)
+            pstep = steps_mod.make_step(problem, precond, omega_accel,
+                                        b_arg_is_problem_rhs=False)
             precon = lambda bb: fixed_sweeps(
                 pstep, jnp.zeros_like(bb), bb, PRECOND_SWEEPS
             )

@@ -94,12 +94,22 @@ def _named(label, fn):
     return wrapped
 
 
-def make_step(problem: Problem, name: str, omega: float, color_offset: int = 0):
+def make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
+              b_arg_is_problem_rhs: bool = True):
     """Build step(x, b) -> (x_new, r2) for any relaxation/line solver.
 
     Steps are wrapped in a jax.named_scope with the solver name so device
-    profiles group per-solver kernels like the reference's PMlib labels."""
-    step = _named(name, _make_step(problem, name, omega, color_offset))
+    profiles group per-solver kernels like the reference's PMlib labels.
+
+    ``b_arg_is_problem_rhs``: the caller will drive the step with the
+    problem's own rhs (the solve drivers) — enables rhs-derived kernel
+    hints like the fused smoother's b_is_zero.  Preconditioner builders
+    MUST pass False: they drive the step with Krylov vectors as ``b``, and
+    a b_is_zero-specialized kernel would silently ignore them."""
+    step = _named(
+        name, _make_step(problem, name, omega, color_offset,
+                         b_arg_is_problem_rhs)
+    )
     kind, _ = parse_name(name)
     if kind in ("psor", "pcr_gs"):
         # wavefront-exact sweeps cost O(N) sequential passes each — the
@@ -110,7 +120,8 @@ def make_step(problem: Problem, name: str, omega: float, color_offset: int = 0):
     return step
 
 
-def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0):
+def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
+               b_arg_is_problem_rhs: bool = True):
     kind, is_maf = parse_name(name)
     if kind == "pbicgstab":
         raise ValueError("pbicgstab is a driver, not a sweep; see bicgstab.py")
@@ -165,7 +176,7 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0)
         return make_mg_step(
             g, omega=omega,
             smoother="xla" if sharded else "auto",
-            b_is_zero=problem.rhs_is_inner_zero(),
+            b_is_zero=b_arg_is_problem_rhs and problem.rhs_is_inner_zero(),
             maf=is_maf,
         )
 
