@@ -126,7 +126,16 @@ def main():
     rows = []
     for cfg in CONFIGS:
         try:
-            rows.append(run_one(*cfg))
+            try:
+                rows.append(run_one(*cfg))
+            except Exception as e:
+                # the remote compile service behind the TPU tunnel throws
+                # transient HTTP 500s / wedges that clear in ~1 min — one
+                # retry distinguishes those from real failures
+                print(f"{cfg[0]}: retrying after {type(e).__name__}: {e}",
+                      flush=True)
+                time.sleep(90)
+                rows.append(run_one(*cfg))
             r = rows[-1]
             r["ref"] = ref_iters(cfg[1], cfg[2], cfg[3], cfg[4])
             net = r.get("net_mcups")

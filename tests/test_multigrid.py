@@ -160,6 +160,29 @@ def test_mg_maf_foreign_coeffs_rejected():
         solve(dataclasses.replace(prob, mc=alien), "mg_maf", 1.0, 10)
 
 
+def test_mg_fused_smoother_matches_xla_nonzero_b():
+    """The preconditioner configuration: the fused fine-level smoother
+    built with b_is_zero=False and driven with a nonzero RHS (BiCGSTAB
+    hands the V-cycle its Krylov vectors as b — bicgstab.py passes
+    b_arg_is_problem_rhs=False).  Guards the pbicgstab+mg TPU path."""
+    prob = Problem.poisson_cube(24)
+    b = (
+        jax.random.normal(jax.random.PRNGKey(0), prob.x0.shape, prob.x0.dtype)
+        * prob.msk
+    )
+    sx = mg.make_mg_step(prob.grid, omega=1.0)  # xla (auto off-TPU)
+    sf = mg.make_mg_step(
+        prob.grid, omega=1.0, smoother="fused", b_is_zero=False,
+        interpret=True,
+    )
+    x1 = x2 = jnp.zeros_like(prob.x0)
+    for _ in range(3):
+        x1, r1 = jax.jit(sx)(x1, b)
+        x2, r2 = jax.jit(sf)(x2, b)
+    assert float(jnp.max(jnp.abs(x1 - x2))) < 1e-6
+    assert float(r1) == pytest.approx(float(r2), rel=1e-4)
+
+
 def test_mg_fused_smoother_matches_xla():
     """The fused-Pallas fine-level smoother (TPU production path) matches
     the XLA smoother to FMA-contraction rounding (the same <1e-6/sweep
