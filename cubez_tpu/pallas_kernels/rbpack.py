@@ -356,14 +356,18 @@ def _rb_pair_packed_maf(
     *, K, I2, J, I2p, Jp, offset, omega, dtype
 ):
     """MAF variant of :func:`_rb_pair_packed` for the 2x pipeline: the
-    per-k weight rows live in a resident (K + kt + 16, 4, 128) table
+    per-k weight rows live in a resident (K + kt + 16, 4, Jp) table
     (true k = g at row g + 8, so the lag-window's negative k0_mid stays
-    in range; value lanes broadcast from lane 0)."""
+    in range).  The table carries full Jp lanes: a 1-lane slice would
+    make the weight*neighbor products broadcast in sublanes AND lanes at
+    once, which Mosaic rejects ("Broadcast in both sublanes and lanes" —
+    only ever worked in interpret mode); with full lanes the multiply
+    broadcasts along sublanes only, like the streaming kernel's wz."""
     rows = xv.shape[0]
     Rv = xv[:, 0:I2p]
     Bv = xv[:, I2p : 2 * I2p]
     ti = ti_ref[:]
-    wz = tk_ref[pl.ds(k0_mid + 8, rows - 2), :, 0:1]  # (rows-2, 4, 1)
+    wz = tk_ref[pl.ds(k0_mid + 8, rows - 2), :, :]  # (rows-2, 4, Jp)
     mR, selR = _parity_masks(rows - 2, k0_mid, offset, K, I2, J, I2p, Jp, 0)
     Rn, dpR = _pair_update_maf(
         Rv[1:-1], Bv, None, mR, selR, ti, wz, omega, dtype
@@ -410,7 +414,11 @@ def make_packed_sweep2x(
     _, _, _, I2, I2p, Jp = _dims(shape)
     IPP = 2 * I2p
     itemsize = jnp.dtype(dtype).itemsize
-    table_bytes = 8 * I2p * Jp * itemsize if mc is not None else 0
+    # resident MAF tables: (8, I2p, Jp) ti + (K + kt + 16, 4, Jp) tk
+    # (kt <= kt_cap = 32 at sizing time)
+    table_bytes = (
+        (8 * I2p + 4 * (K + 48)) * Jp * itemsize if mc is not None else 0
+    )
     if kt is None:
         kt = choose_kt(
             (K, IPP, Jp), itemsize, halo=8, kt_cap=32,
@@ -440,7 +448,7 @@ def make_packed_sweep2x(
         half = npdt.type(0.5)
         c3 = np.asarray(mc.c3, npdt).reshape(-1)[:K]
         c9 = np.asarray(mc.c9, npdt).reshape(-1)[:K]
-        tk = np.ones((K + kt + 16, 4, 128), npdt)
+        tk = np.ones((K + kt + 16, 4, Jp), npdt)
         tk[8 : 8 + K, 0, :] = (c3 - half * c9)[:, None]
         tk[8 : 8 + K, 1, :] = (c3 + half * c9)[:, None]
         tk[8 : 8 + K, 2, :] = c3[:, None]
