@@ -142,10 +142,12 @@ def solve_dist(
                 rhs=cmesh.shard(problem.rhs),
                 msk=cmesh.shard(problem.msk),
             )
+            from ..solvers.api import _initial_x
+
             sstep = make_step(prob_sh, solver, omega)
             result = run_iterative(
-                sstep, prob_sh.x0, prob_sh.rhs, g.res_normal, itr_max, eps,
-                check_every=check_every,
+                sstep, _initial_x(sstep, prob_sh), prob_sh.rhs,
+                g.res_normal, itr_max, eps, check_every=check_every,
             )
 
     if history_path:

@@ -47,6 +47,20 @@ def _can_fuse(problem: Problem, kind: str, is_maf: bool, impl: str) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _initial_x(step, problem: Problem):
+    """The solve's starting iterate: ``problem.x0`` normally; steps that
+    carry an ``fmg_init`` (full multigrid, solvers/multigrid.py) derive it
+    from the RHS with one F-cycle instead.  The jitted initializer is
+    cached on the step so repeated solves reuse the executable."""
+    init = getattr(step, "fmg_init", None)
+    if init is None:
+        return problem.x0
+    jitted = getattr(step, "_fmg_init_jit", None)
+    if jitted is None:
+        jitted = step._fmg_init_jit = jax.jit(init)
+    return jitted(problem.rhs)
+
+
 def solve(
     problem: Problem,
     solver: str,
@@ -112,8 +126,8 @@ def solve(
 
         step = get_jnp_step(problem, solver, omega)
         result = run_iterative(
-            step, problem.x0, problem.rhs, g.res_normal, itr_max, eps,
-            check_every=check_every,
+            step, _initial_x(step, problem), problem.rhs, g.res_normal,
+            itr_max, eps, check_every=check_every,
         )
 
     if history_path:

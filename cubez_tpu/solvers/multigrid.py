@@ -46,6 +46,17 @@ The variable-coefficient cycle (solver name ``mg_maf``) swaps in the MAF
 metric operator per level — see :func:`make_mg_step` (``maf=True``) for
 the convention differences (operator from coarsened coordinates, no
 factor 4 on the residual transfer, stopping update r/dd).
+
+Full multigrid (solver names ``fmg`` / ``fmg_maf``) prepends ONE F-cycle
+as the initial guess: the RHS is restricted down the hierarchy, the
+coarsest level is solved outright from its own Dirichlet shell, and the
+solution is interpolated up one level at a time with a V-cycle at each —
+the textbook O(N) path to discretization-level error in a single pass.
+Boundary data transfers by injection (the coarse shell nodes ARE fine
+shell nodes), so every level solves the true boundary-value problem, not
+a zero-BC defect equation.  The driver then runs plain V-cycles from
+that start: ``fmg`` typically stops after 1-2 cycles where ``mg`` needs
+6-8 (same eps semantics and history format).
 """
 
 from __future__ import annotations
@@ -189,6 +200,22 @@ def build_levels(shape_kij, dtype, min_inner: int = 2,
     return levels
 
 
+def _inject_coarse(f, coarse_shape):
+    """Coarsen a full (shell-carrying) array by INJECTION at the coarse
+    node positions: full-array index 0, 2c (c = 1..mc), n-1 per axis —
+    the same index pattern as :func:`_coarsen_coords`, so the values land
+    exactly on the coarse nodes for both the regular-H and the
+    even-extent boundary-local geometries.  Used to carry Dirichlet
+    shells down the FMG hierarchy (the coarse shell nodes ARE fine shell
+    nodes, so injection is exact boundary data)."""
+    for ax in range(3):
+        n = f.shape[ax]
+        mc = coarse_shape[ax] - 2
+        idx = np.r_[0, np.arange(2, 2 * mc + 1, 2), n - 1]
+        f = jnp.take(f, jnp.asarray(idx), axis=ax)
+    return f
+
+
 def make_mg_step(
     grid: Grid,
     omega: float = 1.0,
@@ -199,6 +226,7 @@ def make_mg_step(
     b_is_zero: bool = False,
     interpret: bool = False,
     maf: bool = False,
+    fmg: bool = False,
 ):
     """Build ``step(x, b) -> (x_new, r2)``: one V(nu1, nu2) cycle plus the
     Jacobi-equivalent residual (see module docstring).
@@ -292,6 +320,37 @@ def make_mg_step(
         r = residual(x, b, lv0)
         r = r / lv0.mc.dd if maf else r * r6
         return x, jnp.sum(r * r)
+
+    if fmg:
+        # per-level Dirichlet shells, injected down the hierarchy (module
+        # docstring: FMG solves the true BVP at every level)
+        bcs = [grid.bc_field * (1.0 - levels[0].msk)]
+        for lv in levels[1:]:
+            bcs.append(_inject_coarse(bcs[-1], lv.shape))
+
+        def fmg_init(b):
+            """One F-cycle from the RHS alone -> initial iterate with
+            discretization-level error."""
+            bl = b * levels[0].msk  # shell rows of the rhs are never read
+            bs_ = [bl]
+            for lv in levels[1:]:
+                bl = restrict_fw(bl, lv.shape) * lv.msk
+                if not maf:
+                    bl = four * bl
+                bs_.append(bl)
+            li = len(levels) - 1
+            x = bcs[li] + jnp.zeros(levels[li].shape, b.dtype)
+            x = smooth(x, bs_[li], levels[li], coarse_sweeps, li)
+            for li in range(len(levels) - 2, -1, -1):
+                lv = levels[li]
+                # trilinear interpolation of the full coarse solution —
+                # the prolongation's end averages read the coarse shell,
+                # so boundary data shapes the first fine layer correctly
+                x = prolong(x, lv.shape) * lv.msk + bcs[li]
+                x = vcycle(x, bs_[li], li)
+            return x
+
+        step.fmg_init = fmg_init
 
     # one "iteration" is a whole V-cycle: its cost dwarfs the convergence
     # check, and the driver's TPU default chunk of 16 would run up to 15

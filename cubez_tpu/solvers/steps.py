@@ -56,7 +56,7 @@ ALL_SOLVERS = RELAX_SOLVERS + tuple(
 ) + ("pbicgstab", "pbicgstab_maf")
 # beyond-reference extensions (documented in README); kept out of
 # ALL_SOLVERS, which is the reference-parity registry
-EXTENSION_SOLVERS = ("mg", "mg_maf", "cg")
+EXTENSION_SOLVERS = ("mg", "mg_maf", "fmg", "fmg_maf", "cg")
 
 
 def parse_name(name: str):
@@ -67,8 +67,8 @@ def parse_name(name: str):
         return "pbicgstab", is_maf
     if base == "cg":
         return "cg", is_maf
-    if base == "mg":
-        return "mg", is_maf
+    if base in ("mg", "fmg"):
+        return base, is_maf
     if base not in _CANON:
         raise ValueError(
             f"unknown solver '{name}' (known: "
@@ -138,7 +138,7 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
         raise ValueError("MAF solver requested but Problem has no MafCoeffs")
     mc = problem.mc
 
-    if kind == "mg":
+    if kind in ("mg", "fmg"):
         import numpy as np
 
         from .multigrid import make_mg_step
@@ -178,6 +178,7 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
             smoother="xla" if sharded else "auto",
             b_is_zero=b_arg_is_problem_rhs and problem.rhs_is_inner_zero(),
             maf=is_maf,
+            fmg=(kind == "fmg"),
         )
 
     if kind == "jacobi":

@@ -44,6 +44,7 @@ CONFIGS = [
     # compare by WALL time-to-tolerance, not Mcells/s — one mg "iteration"
     # is a whole V-cycle, so the per-iteration cell rate is meaningless
     ("mg 128^3 (extension)", 128, "mg", 1.0, None, 100),
+    ("fmg 128^3 (extension)", 128, "fmg", 1.0, None, 100),
     ("pbicgstab+mg 128^3 (extension)", 128, "pbicgstab", 1.1, "mg", 100),
     ("cg+jacobi 128^3 (extension)", 128, "cg", 0.8, "jacobi", 4000),
 ]
