@@ -205,6 +205,17 @@ EVIDENCE = """
   crossing by O(10) iterations; in f64 the counts match exactly (see the
   f64 rows above and tests/test_ref_parity.py).
 
+## Multigrid device cost (the loop column is unreliable for 2-6-iteration solves)
+
+The 'loop Mcells/s' differencing needs a long-minus-short gap that dwarfs
+the ~ms tunnel jitter; mg/fmg converge in 2-6 V-cycles total, so their
+loop column is noise.  Measured directly (32-cycle vs 2-cycle scan inside
+one executable, v5e): **one 128^3 V-cycle = 0.25 ms on device** — mg
+converges in 6 cycles = 1.5 ms of device time, fmg in one F-cycle + 2
+V-cycles ~ 1 ms, versus sor2sma's 1813 x 15.9 us = 29 ms (and the
+reference's thousands of sweeps).  Wall times in the table are
+dispatch-floor dominated (~25 ms/solve through the tunnel).
+
 ## MAF line-solver cost ratio
 
 The inherent bound on pcr_rb_maf vs pcr_rb is 2x: the constant-coefficient
