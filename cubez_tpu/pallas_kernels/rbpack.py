@@ -330,18 +330,26 @@ def _packed_kernel(
         out_dma(nslot, t - 1).wait()
 
 
-def _rb_pair_packed(xv, k0_mid, *, K, I2, J, I2p, Jp, offset, omega, dtype):
+def _rb_pair_packed(xv, k0_mid, bv, *, K, I2, J, I2p, Jp, offset, omega,
+                    dtype):
     """One full RB iteration on a packed slab for the 2x pipeline
     (sweeps2x._sweep2x_kernel contract): colors on the middle rows
     (``xv[1:-1]``, first middle row true K index ``k0_mid``); returns
-    (center rows ``xv[2:-2]`` updated, r2_red_center, r2_black)."""
+    (center rows ``xv[2:-2]`` updated, r2_red_center, r2_black).
+    ``bv``: packed RHS rows aligned with the middle rows (kt+2 of them),
+    or None for the zero-RHS problem."""
     rows = xv.shape[0]
     Rv = xv[:, 0:I2p]
     Bv = xv[:, I2p : 2 * I2p]
+    if bv is None:
+        bR = bB = None
+    else:
+        bR = bv[:, 0:I2p]
+        bB = bv[1:-1, I2p : 2 * I2p]
     mR, selR = _parity_masks(rows - 2, k0_mid, offset, K, I2, J, I2p, Jp, 0)
-    Rn, dpR = _pair_update(Rv[1:-1], Bv, None, mR, selR, omega, dtype)
+    Rn, dpR = _pair_update(Rv[1:-1], Bv, bR, mR, selR, omega, dtype)
     mB, selB = _parity_masks(rows - 4, k0_mid + 1, offset, K, I2, J, I2p, Jp, 1)
-    Bn, dpB = _pair_update(Bv[2:-2], Rn, None, mB, selB, omega, dtype)
+    Bn, dpB = _pair_update(Bv[2:-2], Rn, bB, mB, selB, omega, dtype)
     dpc = dpR[1:-1].astype(jnp.float32)
     dbf = dpB.astype(jnp.float32)
     return (
@@ -352,7 +360,7 @@ def _rb_pair_packed(xv, k0_mid, *, K, I2, J, I2p, Jp, offset, omega, dtype):
 
 
 def _rb_pair_packed_maf(
-    xv, k0_mid, ti_ref, tk_ref,
+    xv, k0_mid, bv, ti_ref, tk_ref,
     *, K, I2, J, I2p, Jp, offset, omega, dtype
 ):
     """MAF variant of :func:`_rb_pair_packed` for the 2x pipeline: the
@@ -366,15 +374,20 @@ def _rb_pair_packed_maf(
     rows = xv.shape[0]
     Rv = xv[:, 0:I2p]
     Bv = xv[:, I2p : 2 * I2p]
+    if bv is None:
+        bR = bB = None
+    else:
+        bR = bv[:, 0:I2p]
+        bB = bv[1:-1, I2p : 2 * I2p]
     ti = ti_ref[:]
     wz = tk_ref[pl.ds(k0_mid + 8, rows - 2), :, :]  # (rows-2, 4, Jp)
     mR, selR = _parity_masks(rows - 2, k0_mid, offset, K, I2, J, I2p, Jp, 0)
     Rn, dpR = _pair_update_maf(
-        Rv[1:-1], Bv, None, mR, selR, ti, wz, omega, dtype
+        Rv[1:-1], Bv, bR, mR, selR, ti, wz, omega, dtype
     )
     mB, selB = _parity_masks(rows - 4, k0_mid + 1, offset, K, I2, J, I2p, Jp, 1)
     Bn, dpB = _pair_update_maf(
-        Bv[2:-2], Rn, None, mB, selB, ti, wz[1:-1], omega, dtype
+        Bv[2:-2], Rn, bB, mB, selB, ti, wz[1:-1], omega, dtype
     )
     dpc = dpR[1:-1].astype(jnp.float32)
     dbf = dpB.astype(jnp.float32)
@@ -393,6 +406,7 @@ def make_packed_sweep2x(
     offset: int = 0,
     kt: int | None = None,
     mc=None,
+    b_is_zero: bool = True,
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
@@ -403,8 +417,10 @@ def make_packed_sweep2x(
     for the VPU-bound interleaved kernel (sweeps2x): per PAIR of
     iterations, one read + one write of the packed field.  Field values
     are bitwise-equal to two single packed sweeps; r2 is a (2,) vector of
-    the two iterations' residual sums.  Zero inner RHS only.  ``mc``
-    switches to the MAF update (metric tables resident in VMEM).
+    the two iterations' residual sums.  ``b_is_zero=False`` streams the
+    packed RHS alongside (one extra read per PAIR vs per iteration for
+    the single sweep — the BiCGSTAB preconditioner's configuration).
+    ``mc`` switches to the MAF update (metric tables resident in VMEM).
     """
     from . import sweeps2x
 
@@ -414,6 +430,7 @@ def make_packed_sweep2x(
     _, _, _, I2, I2p, Jp = _dims(shape)
     IPP = 2 * I2p
     itemsize = jnp.dtype(dtype).itemsize
+    has_b = not b_is_zero
     # resident MAF tables: (8, I2p, Jp) ti + (K + kt + 16, 4, Jp) tk
     # (kt <= kt_cap = 32 at sizing time)
     table_bytes = (
@@ -421,20 +438,22 @@ def make_packed_sweep2x(
     )
     if kt is None:
         kt = choose_kt(
-            (K, IPP, Jp), itemsize, halo=8, kt_cap=32,
+            (K, IPP, Jp), itemsize, halo=16 if has_b else 8, kt_cap=32,
             max_vmem_bytes=(64 << 20) - table_bytes,
         )
         if (kt is None or kt < 8) and K % 8 == 0:
             # Large grids: two iterations per HBM pass is worth the whole
             # VMEM budget (measured 512^3 on v5e: 131 vs 79 Gcells/s for
             # the single packed sweep).  kt=8 scratch is 2*(kt+4) x0 +
-            # 2*(kt+4) x1 + 2*kt out rows plus pair-update temporaries
-            # (~6*(kt+2) rows); admit it when that fits a raised limit.
-            # real DMA scratch is (6*kt+16) rows; Mosaic's pair-update
-            # temporaries fit inside the raised 116 MB limit on top of it
-            # (measured at 512^3: kt=8 compiles and runs at 131 Gcells/s)
+            # 2*(kt+4) x1 + 2*kt out rows [+ 2*(kt+6) b slabs] plus
+            # pair-update temporaries (~6*(kt+2) rows); admit it when that
+            # fits a raised limit.  real DMA scratch is (6*kt+16) rows
+            # ((8*kt+28) with b); Mosaic's pair-update temporaries fit
+            # inside the raised 116 MB limit on top of it (measured at
+            # 512^3: kt=8 compiles and runs at 131 Gcells/s)
             row = IPP * Jp * itemsize
-            if (6 * 8 + 16) * row <= (80 << 20):
+            dma_rows = (8 * 8 + 28) if has_b else (6 * 8 + 16)
+            if dma_rows * row <= (80 << 20):
                 kt = 8
                 vmem_limit_bytes = max(vmem_limit_bytes, 116 << 20)
     if kt is None or K % kt or kt < 8:
@@ -469,12 +488,11 @@ def make_packed_sweep2x(
         pair_fn, K, IPP, Jp, kt, dtype,
         flops=flops,
         vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
-        tables=tables,
+        tables=tables, has_b=has_b,
     )
 
     def pair_step(xp, bp):
-        del bp
-        out, r2 = call(xp)
+        out, r2 = call(xp, bp) if has_b else call(xp)
         acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         r2 = r2.astype(acc)
         return out, jnp.stack(

@@ -51,11 +51,14 @@ def _masks(rows, Ip, Jp, K, I, J, k_start, offset):
     return inner, par == 0, par == 1
 
 
-def _rb_pair(xfull, k0_ext, *, K, I, J, Ip, Jp, offset, omega, dtype):
+def _rb_pair(xfull, k0_ext, bv, *, K, I, J, Ip, Jp, offset, omega, dtype):
     """One full red-black iteration on ``xfull``: color 0 on the middle
     rows (xfull[1:-1], first middle row has true K index ``k0_ext``), then
     color 1 on the center of that.  Returns (x_new center rows,
-    r2_color0_center, r2_color1) — center = xfull rows [2, -2)."""
+    r2_color0_center, r2_color1) — center = xfull rows [2, -2).  The
+    interleaved pipeline is zero-RHS only (``bv`` unused; the packed
+    layout's pair streams a RHS, rbpack._rb_pair_packed)."""
+    del bv
     rows = xfull.shape[0] - 2
     inner, c0, c1 = _masks(rows, Ip, Jp, K, I, J, k0_ext, offset)
     x0, dp0 = _masked_delta(xfull, inner & c0, None, omega, dtype)
@@ -67,19 +70,36 @@ def _rb_pair(xfull, k0_ext, *, K, I, J, Ip, Jp, offset, omega, dtype):
 
 def _sweep2x_kernel(
     xp_ref, *args,
-    K, IP, Jp, kt, pair_fn, n_tabs,
+    K, IP, Jp, kt, pair_fn, n_tabs, has_b,
 ):
     """Generic two-iterations-per-pass pipeline over (rows, IP, Jp) slabs.
 
-    ``pair_fn(xv, k0_mid, *tab_refs) -> (x_center, r2_color0, r2_color1)``
+    ``pair_fn(xv, k0_mid, bv, *tab_refs) -> (x_center, r2_c0, r2_c1)``
     runs one full RB iteration on slab ``xv``: colors on the middle rows
     (``xv[1:-1]``, first middle row has true K index ``k0_mid``), returning
-    the center rows ``xv[2:-2]`` updated.  Interleaved layout uses
-    _rb_pair; the packed layout (rbpack.py) plugs in its dense pair.
-    ``n_tabs`` resident VMEM table inputs (e.g. MAF metric tables) follow
-    xp_ref and are handed through to pair_fn."""
+    the center rows ``xv[2:-2]`` updated.  ``bv`` is None without a RHS;
+    with ``has_b`` it carries kt+2 RHS rows aligned with the middle rows.
+    Interleaved layout uses _rb_pair; the packed layout (rbpack.py) plugs
+    in its dense pair.  ``n_tabs`` resident VMEM table inputs (e.g. MAF
+    metric tables) follow the streamed inputs and are handed to pair_fn.
+
+    RHS streaming: slab row s of ``bs`` holds true row t*kt - 5 + s
+    (padded-array row t*kt - 3 + s), covering BOTH windows: W1 (lag 0)
+    reads slab rows [2, kt+4), W2 (lag 2) rows [0, kt+2).  Edge tiles
+    copy only the in-bounds span (t=0: padded [0, kt+3) -> slab [3, .);
+    drain tile: padded [K-3, K+4) -> slab [0, 7)); rows outside the span
+    are stale VMEM, but every row a pair actually *keeps* is masked on
+    true bounds, and jnp.where SELECTS, so garbage never propagates."""
+    if has_b:
+        bp_ref = args[0]
+        args = args[1:]
     tab_refs = args[:n_tabs]
-    (out_ref, r2_ref, xs, x1s, outs, in_sems, out_sems) = args[n_tabs:]
+    if has_b:
+        (out_ref, r2_ref, xs, x1s, outs, bs,
+         in_sems, out_sems, b_sems) = args[n_tabs:]
+    else:
+        bs = b_sems = None
+        (out_ref, r2_ref, xs, x1s, outs, in_sems, out_sems) = args[n_tabs:]
     t = pl.program_id(0)
     T = K // kt  # input tiles; the grid runs T+1 steps to drain the lag
     two = jnp.asarray(2, t.dtype)
@@ -119,7 +139,71 @@ def _sweep2x_kernel(
             out_sems.at[s],
         )
 
+    # RHS slab DMAs (see docstring for the row map); only the in-bounds
+    # span moves on the edge tiles
+    def b_dma(s, idx):
+        return pltpu.make_async_copy(
+            bp_ref.at[pl.ds(idx * kt - 3, kt + 6)], bs.at[s], b_sems.at[s]
+        )
+
+    def b_dma0(s):
+        return pltpu.make_async_copy(
+            bp_ref.at[pl.ds(0, kt + 3)], bs.at[s, pl.ds(3, kt + 3)],
+            b_sems.at[s],
+        )
+
+    def b_dmaT(s):
+        return pltpu.make_async_copy(
+            bp_ref.at[pl.ds(K - 3, 7)], bs.at[s, pl.ds(0, 7)], b_sems.at[s]
+        )
+
+    # the interior span only exists on multi-tile grids (T >= 2); with one
+    # tile its kt+6-row slice would exceed the K+4-row operand when traced
+    def b_start(s, idx):
+        T_ = K // kt
+
+        @pl.when(idx == 0)
+        def _():
+            b_dma0(s).start()
+
+        if T_ >= 2:
+
+            @pl.when((idx > 0) & (idx < T_))
+            def _():
+                b_dma(s, idx).start()
+
+        @pl.when(idx >= T_)
+        def _():
+            b_dmaT(s).start()
+
+    def b_wait(s, idx):
+        T_ = K // kt
+
+        @pl.when(idx == 0)
+        def _():
+            b_dma0(s).wait()
+
+        if T_ >= 2:
+
+            @pl.when((idx > 0) & (idx < T_))
+            def _():
+                b_dma(s, idx).wait()
+
+        @pl.when(idx >= T_)
+        def _():
+            b_dmaT(s).wait()
+
     # ---- input pipeline ----------------------------------------------------
+    if has_b:
+
+        @pl.when(t == 0)
+        def _():
+            b_start(0, 0)
+
+        @pl.when(t + 1 <= T)
+        def _():
+            b_start(nslot, t + 1)
+
     @pl.when(t == 0)
     def _():
         in0_dma(0).start()
@@ -161,8 +245,11 @@ def _sweep2x_kernel(
     def _():
         x1s[1, 0:4] = x1s[0, kt : kt + 4]
 
+    if has_b:
+        b_wait(slot, t)
     xv = xs[slot]
-    x1_mid, r2a, r2b = pair_fn(xv, t * kt - 3, *tab_refs)
+    bv1 = bs[slot, 2 : kt + 4] if has_b else None
+    x1_mid, r2a, r2b = pair_fn(xv, t * kt - 3, bv1, *tab_refs)
     x1s[slot, 4 : kt + 4] = x1_mid
     r2_ref[t, 0] = r2a
     r2_ref[t, 1] = r2b
@@ -178,7 +265,8 @@ def _sweep2x_kernel(
         out_dma(slot, t - 2).wait()
 
     x1v = x1s[slot]
-    x2_mid, r2c, r2d = pair_fn(x1v, t * kt - 5, *tab_refs)
+    bv2 = bs[slot, 0 : kt + 2] if has_b else None
+    x2_mid, r2c, r2d = pair_fn(x1v, t * kt - 5, bv2, *tab_refs)
     outs[slot] = x2_mid
     r2_ref[t, 2] = r2c
     r2_ref[t, 3] = r2d
@@ -208,21 +296,38 @@ def _sweep2x_kernel(
 
 
 def build_2x(pair_fn, K, IP, Jp, kt, dtype, *, flops, vmem_limit_bytes,
-             interpret, tables=()):
+             interpret, tables=(), has_b=False):
     """pallas_call for the two-iterations-per-pass pipeline over
     (K+4, IP, Jp) state; shared by the interleaved and packed layouts.
     ``tables``: resident VMEM side inputs appended to the call and handed
-    to pair_fn as refs (the caller closes over the actual arrays)."""
+    to pair_fn as refs (the caller closes over the actual arrays).
+    ``has_b``: stream a (K+4, IP, Jp) RHS alongside the state (the
+    returned callable takes (xp, bp)); both pair windows read it from one
+    double-buffered kt+6-row slab."""
     itemsize = jnp.dtype(dtype).itemsize
     T = K // kt
     kern = functools.partial(
         _sweep2x_kernel, K=K, IP=IP, Jp=Jp, kt=kt, pair_fn=pair_fn,
-        n_tabs=len(tables),
+        n_tabs=len(tables), has_b=has_b,
     )
+    scratch = [
+        pltpu.VMEM((2, kt + 4, IP, Jp), dtype),   # x0 slabs
+        pltpu.VMEM((2, kt + 4, IP, Jp), dtype),   # x1 windows (+carry)
+        pltpu.VMEM((2, kt, IP, Jp), dtype),       # x2 outputs
+    ]
+    if has_b:
+        scratch.append(pltpu.VMEM((2, kt + 6, IP, Jp), dtype))  # b slabs
+    scratch += [
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if has_b:
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))
     inner = pl.pallas_call(
         kern,
         grid=(T + 1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + ([pl.BlockSpec(memory_space=pl.ANY)] if has_b else [])
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -232,16 +337,10 @@ def build_2x(pair_fn, K, IP, Jp, kt, dtype, *, flops, vmem_limit_bytes,
             jax.ShapeDtypeStruct((K + 4, IP, Jp), dtype),
             jax.ShapeDtypeStruct((T + 1, 4), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, kt + 4, IP, Jp), dtype),   # x0 slabs
-            pltpu.VMEM((2, kt + 4, IP, Jp), dtype),   # x1 windows (+carry)
-            pltpu.VMEM((2, kt, IP, Jp), dtype),       # x2 outputs
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=2 * K * IP * Jp * itemsize,
+            bytes_accessed=(3 if has_b else 2) * K * IP * Jp * itemsize,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -253,6 +352,8 @@ def build_2x(pair_fn, K, IP, Jp, kt, dtype, *, flops, vmem_limit_bytes,
         input_output_aliases={0: 0},
         interpret=interpret,
     )
+    if has_b:
+        return lambda xp, bp: inner(xp, bp, *tables)
     if not tables:
         return inner
     return lambda xp: inner(xp, *tables)

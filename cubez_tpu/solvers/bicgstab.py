@@ -76,7 +76,9 @@ def _fused_precon(problem: Problem, precond: str, omega: float, impl: str,
 
     from .fused_cache import get_fused_step, pad_unpad
 
-    step = get_fused_step(kind, g, omega, None, interpret)
+    # allow_pair=False under interpret: see get_fused_step
+    step = get_fused_step(kind, g, omega, None, interpret,
+                          allow_pair=not interpret)
     pad, unpad = pad_unpad(kind, g, step)
     if step is None:
         return None

@@ -17,7 +17,7 @@ _CACHE: dict = {}
 
 
 def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
-                   b_is_zero: bool = False):
+                   b_is_zero: bool = False, allow_pair: bool = True):
     """Build-or-fetch the fused step for (kind, grid, omega, mc, interpret,
     b_is_zero).
 
@@ -25,6 +25,12 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
     too).  The returned step operates on the kind's padded state layout.
     ``b_is_zero`` skips streaming the RHS (valid when b == 0 on all inner
     nodes); the step still accepts (xp, bp) and ignores bp.
+    ``allow_pair=False`` forbids multi-iteration (temporally-blocked)
+    steps — the BiCGSTAB preconditioner needs it under interpret mode,
+    where an interpret pallas_call (a closed_call) inside the Krylov
+    loop's lax.cond trips a jax lowering-cache KeyError; on the TPU the
+    kernel is a custom call and the pair is used (bitwise-equal sweeps,
+    verified iteration-count parity on hardware).
     """
     key = (
         kind,
@@ -33,6 +39,7 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
         float(omega),
         bool(interpret),
         bool(b_is_zero),
+        bool(allow_pair),
         None if mc is None else id(mc),
     )
     ent = _CACHE.get(key)
@@ -71,10 +78,10 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
         from ..pallas_kernels import rbpack
 
         step = None
-        if b_is_zero:
+        if allow_pair:
             step = rbpack.make_packed_sweep2x(
                 grid.shape_kij, grid.dtype, omega=omega, mc=mc,
-                interpret=interpret,
+                b_is_zero=b_is_zero, interpret=interpret,
             )
         if step is None:
             step = rbpack.make_packed_sweep(
@@ -89,6 +96,10 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
                 b_is_zero=b_is_zero, interpret=interpret,
             )
     else:
+        # jacobi stays on the single fused sweep: its dense simultaneous
+        # update is COMPUTE-bound (~15 us/iter at 128^3 on v5e), so a
+        # temporally-blocked pair was measured neutral (15.3 vs 15.4
+        # us/iter; 16.6 vs 17.5 with a streamed RHS) and is not kept
         from ..pallas_kernels import sweeps as fk
 
         step = fk.make_fused_sweep(

@@ -157,6 +157,43 @@ def test_packed_pair_bitwise_two_singles():
     assert abs(float(r2pair[1]) - float(r2b)) < 1e-5 * max(1.0, float(r2b))
 
 
+@pytest.mark.parametrize("maf", [False, True])
+def test_packed_pair_with_rhs_bitwise_two_singles(maf):
+    """The pair with a STREAMED RHS (b_is_zero=False — the BiCGSTAB
+    preconditioner configuration) equals two single packed sweeps bitwise
+    on the true extents (pad rows may decay differently — layout
+    contract) and in residuals.  Covers the edge-tile b-slab spans
+    (t=0 / interior / drain)."""
+    prob = Problem.poisson_cube(24, dtype=jnp.float32, maf=maf)
+    shape = prob.grid.shape_kij
+    one = jax.jit(
+        rbpack.make_packed_sweep(
+            shape, jnp.float32, omega=1.5, kt=8, b_is_zero=False,
+            mc=prob.mc, interpret=True,
+        )
+    )
+    two = rbpack.make_packed_sweep2x(
+        shape, jnp.float32, omega=1.5, kt=8, b_is_zero=False, mc=prob.mc,
+        interpret=True,
+    )
+    assert two is not None and two.iters_per_call == 2
+    two = jax.jit(two)
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    xp = rbpack.pack_rb(
+        prob.x0 + 0.1 * jax.random.normal(k1, shape, jnp.float32)
+    )
+    bp = rbpack.pack_rb(jax.random.normal(k2, shape, jnp.float32))
+    x1, r2a = one(xp, bp)
+    x2, r2b = one(x1, bp)
+    xpair, r2pair = two(xp, bp)
+    assert jnp.array_equal(
+        rbpack.unpack_rb(x2, shape), rbpack.unpack_rb(xpair, shape)
+    )
+    assert abs(float(r2pair[0]) - float(r2a)) < 1e-5 * max(1.0, float(r2a))
+    assert abs(float(r2pair[1]) - float(r2b)) < 1e-5 * max(1.0, float(r2b))
+
+
 @pytest.mark.parametrize("kt", [4, 8])
 def test_packed_maf_matches_xla(kt):
     prob = Problem.poisson_cube((12, 10, 16), dtype=jnp.float32, maf=True)
