@@ -152,7 +152,9 @@ def main(argv=None):
 
         pm = profile_solve(
             prob,
-            args.solver if kind not in ("pbicgstab", "cg", "mg") else "sor2sma",
+            args.solver
+            if kind not in ("pbicgstab", "cg", "mg", "fmg")
+            else "sor2sma",
             omega=args.coef, iters=min(50, max(res.iters, 1)), cmesh=cm,
             impl=args.impl,
         )

@@ -157,41 +157,30 @@ def _sweep2x_kernel(
             bp_ref.at[pl.ds(K - 3, 7)], bs.at[s, pl.ds(0, 7)], b_sems.at[s]
         )
 
-    # the interior span only exists on multi-tile grids (T >= 2); with one
-    # tile its kt+6-row slice would exceed the K+4-row operand when traced
-    def b_start(s, idx):
-        T_ = K // kt
-
+    # one dispatcher for both .start() and .wait() so the two sides can
+    # never select different descriptors for the same (slot, idx).  The
+    # interior span only exists on multi-tile grids (T >= 2); with one
+    # tile its kt+6-row slice would exceed the K+4-row operand when traced.
+    def b_io(s, idx, op):
         @pl.when(idx == 0)
         def _():
-            b_dma0(s).start()
+            op(b_dma0(s))
 
-        if T_ >= 2:
+        if T >= 2:
 
-            @pl.when((idx > 0) & (idx < T_))
+            @pl.when((idx > 0) & (idx < T))
             def _():
-                b_dma(s, idx).start()
+                op(b_dma(s, idx))
 
-        @pl.when(idx >= T_)
+        @pl.when(idx >= T)
         def _():
-            b_dmaT(s).start()
+            op(b_dmaT(s))
+
+    def b_start(s, idx):
+        b_io(s, idx, lambda d: d.start())
 
     def b_wait(s, idx):
-        T_ = K // kt
-
-        @pl.when(idx == 0)
-        def _():
-            b_dma0(s).wait()
-
-        if T_ >= 2:
-
-            @pl.when((idx > 0) & (idx < T_))
-            def _():
-                b_dma(s, idx).wait()
-
-        @pl.when(idx >= T_)
-        def _():
-            b_dmaT(s).wait()
+        b_io(s, idx, lambda d: d.wait())
 
     # ---- input pipeline ----------------------------------------------------
     if has_b:

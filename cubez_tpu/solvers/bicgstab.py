@@ -114,8 +114,13 @@ def make_bicgstab(
 
     if precond and precond.lower() not in ("none", "copy"):
         # one V-cycle is the canonical multigrid preconditioner (extension;
-        # the reference's fixed-8 rule applies to its single-level sweeps)
-        p_is_mg = steps_mod.parse_name(precond)[0] == "mg"
+        # the reference's fixed-8 rule applies to its single-level sweeps).
+        # "fmg" as a preconditioner means the same thing: the F-cycle is a
+        # solve-level INITIALIZER (and is affine in b through its BC
+        # shells — not a linear operator), so it maps to one V-cycle too.
+        p_is_mg = steps_mod.parse_name(precond)[0] in ("mg", "fmg")
+        if p_is_mg:
+            precond = precond.replace("fmg", "mg")
         nsw = 1 if p_is_mg else PRECOND_SWEEPS
         precon = _fused_precon(problem, precond, omega_accel, impl, cmesh)
         if precon is None:

@@ -244,6 +244,32 @@ def test_fmg_init_alone_reaches_discretization_error():
     assert max_error(prob.grid, x) <= 4.0 * max_error(prob.grid, rm.x)
 
 
+def test_fmg_rejects_custom_x0():
+    """The F-cycle derives its own initial iterate and would silently
+    discard a caller's x0 (checkpoint restart, custom shell) — reject it
+    and point at mg."""
+    import dataclasses
+
+    prob = Problem.poisson_cube(24)
+    warm = dataclasses.replace(prob, x0=prob.x0 + 0.5 * prob.msk)
+    with pytest.raises(ValueError, match="discard"):
+        solve(warm, "fmg", omega=1.0, itr_max=5)
+    # mg accepts the same problem
+    r = solve(warm, "mg", omega=1.0, itr_max=50)
+    assert r.res < 1e-5
+
+
+def test_fmg_as_precond_maps_to_one_vcycle():
+    """precond='fmg' means the same thing as precond='mg' (the F-cycle is
+    a solve-level initializer, affine in b — not a linear operator), so
+    the Krylov iteration counts must match exactly."""
+    prob = Problem.poisson_cube(32)
+    ra = solve(prob, "pbicgstab", omega=1.1, itr_max=50, precond="mg")
+    rb = solve(prob, "pbicgstab", omega=1.1, itr_max=50, precond="fmg")
+    assert rb.iters == ra.iters
+    assert rb.res == ra.res
+
+
 def test_fmg_maf():
     prob = Problem.poisson_cube(32, maf=True)
     rf = solve(prob, "fmg_maf", omega=1.0, itr_max=20)
