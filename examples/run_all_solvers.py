@@ -39,6 +39,8 @@ CONFIGS = [
     # extensions beyond the reference (README "Beyond the reference")
     ("mg", 1.0, None),
     ("mg_maf", 1.0, None),
+    ("fmg", 1.0, None),
+    ("fmg_maf", 1.0, None),
     ("pbicgstab", 1.1, "mg"),
     ("pbicgstab_maf", 1.1, "mg_maf"),
     ("cg", 0.8, None),
