@@ -117,26 +117,59 @@ def run_one(label, n, solver, omega, precond, itr_max, rate_iters=0):
     }
 
 
+def _run_cfg_subprocess(idx: int, timeout_s: int):
+    """One config in a killable child (--one mode).  A wedged TPU tunnel
+    blocks the device call WITHOUT returning to the interpreter, so an
+    in-process loop would hang the whole protocol for hours (observed);
+    a child bounded by ``timeout_s`` caps the damage to one row."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", str(idx)],
+        timeout=timeout_s, capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-3:]
+        raise RuntimeError(
+            f"config exited {r.returncode}: " + " | ".join(tail)
+        )
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_RESULTS.md")
+    ap.add_argument("--one", type=int, default=None,
+                    help="run CONFIGS[i], print its row as one JSON line "
+                         "(child mode of the per-config watchdog)")
+    ap.add_argument("--cfg-timeout", type=int, default=900)
     args = ap.parse_args()
+
+    if args.one is not None:
+        import json
+
+        print(json.dumps(run_one(*CONFIGS[args.one])), flush=True)
+        return
 
     dev = jax.devices()[0]
     kind = getattr(dev, "device_kind", dev.platform)
     rows = []
-    for cfg in CONFIGS:
+    for i, cfg in enumerate(CONFIGS):
         try:
             try:
-                rows.append(run_one(*cfg))
+                rows.append(_run_cfg_subprocess(i, args.cfg_timeout))
             except Exception as e:
                 # the remote compile service behind the TPU tunnel throws
-                # transient HTTP 500s / wedges that clear in ~1 min — one
-                # retry distinguishes those from real failures
-                print(f"{cfg[0]}: retrying after {type(e).__name__}: {e}",
-                      flush=True)
+                # transient HTTP 500s / wedges that clear in ~1 min (but
+                # can also last hours — hence the child timeout) — one
+                # retry distinguishes transients from real failures
+                print(f"{cfg[0]}: retrying after {type(e).__name__}: "
+                      f"{str(e)[:160]}", flush=True)
                 time.sleep(90)
-                rows.append(run_one(*cfg))
+                rows.append(_run_cfg_subprocess(i, args.cfg_timeout))
             r = rows[-1]
             r["ref"] = ref_iters(cfg[1], cfg[2], cfg[3], cfg[4])
             net = r.get("net_mcups")
