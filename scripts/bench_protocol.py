@@ -249,6 +249,15 @@ V-cycles ~ 1 ms, versus sor2sma's 1813 x 15.9 us = 29 ms (and the
 reference's thousands of sweeps).  Wall times in the table are
 dispatch-floor dominated (~25 ms/solve through the tunnel).
 
+Where the 0.24 ms goes (scan-differenced per component): fine-level
+fused smoothing 34 us (2 sweeps), fine residual 20 us, fine
+restrict+prolong 87 us, coarse chain ~50 us, correction/bookkeeping the
+rest.  The transfer operators dominate — stride-2 slicing and
+interleaving on the 128-lane axis relayouts in XLA; a lane-compaction
+Pallas kernel could roughly halve them (~25% of a cycle), deliberately
+not taken: the cycle is already ~20x cheaper than any single-level
+alternative and the kernel would be the most fragile in the repo.
+
 ## MAF line-solver cost ratio
 
 The inherent bound on pcr_rb_maf vs pcr_rb is 2x: the constant-coefficient
