@@ -153,7 +153,7 @@ def main(argv=None):
         pm = profile_solve(
             prob,
             args.solver
-            if kind not in ("pbicgstab", "cg", "mg", "fmg")
+            if kind not in ("pbicgstab", "cg", "mg", "fmg", "fd")
             else "sor2sma",
             omega=args.coef, iters=min(50, max(res.iters, 1)), cmesh=cm,
             impl=args.impl,

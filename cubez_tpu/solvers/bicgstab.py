@@ -118,7 +118,9 @@ def make_bicgstab(
         # "fmg" as a preconditioner means the same thing: the F-cycle is a
         # solve-level INITIALIZER (and is affine in b through its BC
         # shells — not a linear operator), so it maps to one V-cycle too.
-        p_is_mg = steps_mod.parse_name(precond)[0] in ("mg", "fmg")
+        # "fd" (exact fast-diagonalization inverse) is likewise one
+        # application.  All three run at the smoothing omega = 1.0.
+        p_is_mg = steps_mod.parse_name(precond)[0] in ("mg", "fmg", "fd")
         if p_is_mg:
             precond = precond.replace("fmg", "mg")
         nsw = 1 if p_is_mg else PRECOND_SWEEPS

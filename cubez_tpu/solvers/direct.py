@@ -1,0 +1,161 @@
+"""3D fast-diagonalization DIRECT solver — a deliberate EXTENSION.
+
+The cube operator is a separable Kronecker sum for BOTH coefficient
+families this platform supports:
+
+  constant (cz_blas.f90:579-644 convention, A x = sum(nbr) - 6 x):
+      -A = Dz (+) Dx (+) Dy,        D = tridiag(-1, 2, -1) per axis
+  MAF (cz_maf.f90:519-572 convention, dd x - rp = b):
+       M = Dz (+) Dx (+) Dy,        Dz = tridiag(-wzm, 2 c3, -wzp), etc.
+  ((+) = Kronecker sum over the inner grid; Dirichlet data folds into the
+  RHS through the residual, exactly like the line solvers' boundary fold,
+  cz_solver.f90:578-579.)
+
+Diagonalizing each axis once (host, float64; symmetrized by the same
+diagonal similarity as ops/fastdiag.py, so the eigenbasis is orthogonal
+and the f32 apply stays at roundoff) solves the WHOLE cube directly:
+
+    e = Vz Vx Vy [ (Vy^-1 Vx^-1 Vz^-1 r) / (mu_z + mu_x + mu_y) ]
+
+— six dense (n x n) x (n x m) contractions, i.e. pure MXU work (~3 GFLOP
+at 128^3, a few hundred microseconds on one v5e chip), where the
+reference's fastest solver needs 1356 tridiagonal sweeps.  This is the
+classical fast Poisson / fast-diagonalization method (the 3D extension
+of the MXU line solves in pallas_kernels/lines.py), an algorithm class
+the reference does not have.
+
+Exposed as solver names ``fd`` / ``fd_maf``.  One "iteration" of the
+driver = one direct solve applied as iterative refinement
+(x += M^-1 (b - M x)), so f32 roundoff converges in 1-2 iterations at
+eps = 1e-5 with unchanged history/eps semantics.  The stopping metric is
+the omega=1 Jacobi-equivalent update, directly comparable to mg's
+(solvers/multigrid.py docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.grid import Grid
+from ..ops.blas import calc_rk
+
+
+def _tridiag_eig(lo, dg, up):
+    """Eigendecomposition (V, Vinv, mu) of tridiag(lo, dg, up) (float64).
+
+    ``lo``: (n-1,) entries at row k, col k-1; ``up``: row k, col k+1.
+    Symmetrized via diagonal similarity when lo*up > 0 (orthogonal
+    eigenbasis — the stable path, same construction as
+    ops/fastdiag.maf_line_diag); general eig fallback otherwise."""
+    lo = np.asarray(lo, np.float64)
+    up = np.asarray(up, np.float64)
+    dg = np.asarray(dg, np.float64)
+    prod = lo * up
+    if np.all(prod > 0):
+        ratio = np.sqrt(lo / up)
+        s = np.concatenate([[1.0], np.cumprod(ratio)])
+        off = np.sign(up) * np.sqrt(prod)
+        B = np.diag(dg) + np.diag(off, 1) + np.diag(off, -1)
+        mu, Q = np.linalg.eigh(B)
+        V = s[:, None] * Q
+        Vinv = Q.T / s[None, :]
+    else:
+        D = np.diag(dg) + np.diag(lo, -1) + np.diag(up, 1)
+        mu, V = np.linalg.eig(D)
+        mu, V = mu.real, V.real
+        Vinv = np.linalg.inv(V)
+    return V, Vinv, mu
+
+
+def _axis_tables(grid: Grid, mc):
+    """Per-axis (V, Vinv, mu) for (K, I, J) inner extents, float64.
+
+    Constant: D = tridiag(-1, 2, -1) (so M = -A).  MAF: the per-axis
+    tridiagonals of the separable metric operator (the K-axis one is
+    exactly ops/fastdiag.maf_line_diag's D; the I/J axes follow the same
+    construction from c1/c7 and c2/c8)."""
+    nk, ni, nj = grid.nk - 2, grid.ni - 2, grid.nj - 2
+    if mc is None:
+        out = []
+        for n in (nk, ni, nj):
+            V, Vi, mu = _tridiag_eig(
+                np.full(n - 1, -1.0), np.full(n, 2.0), np.full(n - 1, -1.0)
+            )
+            out.append((V, Vi, mu))
+        return out
+
+    def w(c_lo, c_hi, n):
+        c = np.asarray(c_lo, np.float64).reshape(-1)[1 : n + 1]
+        g = np.asarray(c_hi, np.float64).reshape(-1)[1 : n + 1]
+        wm = c - 0.5 * g  # weight toward index-1 neighbor
+        wp = c + 0.5 * g  # weight toward index+1 neighbor
+        return _tridiag_eig(-wm[1:], 2.0 * c, -wp[:-1])
+
+    return [w(mc.c3, mc.c9, nk), w(mc.c1, mc.c7, ni), w(mc.c2, mc.c8, nj)]
+
+
+def make_fd_step(problem, maf: bool = False):
+    """Build ``step(x, b) -> (x_new, r2)``: one direct solve applied as
+    iterative refinement, plus the Jacobi-equivalent stopping update."""
+    g = problem.grid
+    msk = problem.msk
+    mc = problem.mc if maf else None
+    if maf and mc is None:
+        raise ValueError("fd_maf requested but Problem has no MafCoeffs")
+
+    dt = g.dtype
+    hp = jax.lax.Precision.HIGHEST
+    (Vz, Vzi, muz), (Vx, Vxi, mux), (Vy, Vyi, muy) = _axis_tables(g, mc)
+    Vz, Vzi = jnp.asarray(Vz, dt), jnp.asarray(Vzi, dt)
+    Vx, Vxi = jnp.asarray(Vx, dt), jnp.asarray(Vxi, dt)
+    Vy, Vyi = jnp.asarray(Vy, dt), jnp.asarray(Vyi, dt)
+    # eigenvalue denominators in f64 precision, stored in dt
+    den = jnp.asarray(
+        1.0
+        / (
+            muz[:, None, None] + mux[None, :, None] + muy[None, None, :]
+        ),
+        dt,
+    )
+
+    def minv(r):
+        """M^-1 r on the inner grid via the three-axis eigenbasis:
+        forward-transform each axis into mode space (V^-1), divide by the
+        eigenvalue sums, back-transform (V)."""
+        u = jnp.einsum("ak,kij->aij", Vzi, r, precision=hp)
+        u = jnp.einsum("ci,aij->acj", Vxi, u, precision=hp)
+        u = jnp.einsum("dj,acj->acd", Vyi, u, precision=hp)
+        u = u * den
+        u = jnp.einsum("jd,acd->acj", Vy, u, precision=hp)
+        u = jnp.einsum("ic,acj->aij", Vx, u, precision=hp)
+        return jnp.einsum("ka,aij->kij", Vz, u, precision=hp)
+
+    inner = (slice(1, -1),) * 3
+    r6 = jnp.asarray(1.0 / 6.0, dt)
+
+    if maf:
+        def residual(x, b):
+            return (b - (mc.dd * x - mc.nbr_weighted(x))) * msk
+    else:
+        def residual(x, b):
+            return calc_rk(x, b, msk)
+
+    # r = b - M_sign A x; error equation: const A e = r with A = -M, so
+    # e = -M^-1 r; MAF M e = r directly
+    sgn = jnp.asarray(1.0 if maf else -1.0, dt)
+
+    def step(x, b):
+        r = residual(x, b)
+        e = sgn * minv(r[inner])
+        x = x.at[inner].add(e)
+        rn = residual(x, b)
+        rn = rn / mc.dd if maf else rn * r6
+        return x, jnp.sum(rn * rn)
+
+    # every iteration is a full direct solve (converges in 1-2): check
+    # each one, like the wavefront solvers
+    step.check_every_default = 1
+    return step

@@ -56,7 +56,7 @@ ALL_SOLVERS = RELAX_SOLVERS + tuple(
 ) + ("pbicgstab", "pbicgstab_maf")
 # beyond-reference extensions (documented in README); kept out of
 # ALL_SOLVERS, which is the reference-parity registry
-EXTENSION_SOLVERS = ("mg", "mg_maf", "fmg", "fmg_maf", "cg")
+EXTENSION_SOLVERS = ("mg", "mg_maf", "fmg", "fmg_maf", "fd", "fd_maf", "cg")
 
 
 def parse_name(name: str):
@@ -67,7 +67,7 @@ def parse_name(name: str):
         return "pbicgstab", is_maf
     if base == "cg":
         return "cg", is_maf
-    if base in ("mg", "fmg"):
+    if base in ("mg", "fmg", "fd"):
         return base, is_maf
     if base not in _CANON:
         raise ValueError(
@@ -137,6 +137,20 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
     if is_maf and problem.mc is None:
         raise ValueError("MAF solver requested but Problem has no MafCoeffs")
     mc = problem.mc
+
+    if kind == "fd":
+        import numpy as np
+
+        from .direct import make_fd_step
+
+        # the fast-diagonalization operator is the separable cube
+        # operator: a non-standard mask (obstacle/void nodes) breaks
+        # separability — reject instead of solving the wrong problem
+        if problem.msk is not g.inner_mask and not np.array_equal(
+            np.asarray(problem.msk), np.asarray(g.inner_mask)
+        ):
+            raise ValueError("fd supports the standard cube inner mask only")
+        return make_fd_step(problem, maf=is_maf)
 
     if kind in ("mg", "fmg"):
         import numpy as np

@@ -41,6 +41,9 @@ CONFIGS = [
     ("mg_maf", 1.0, None),
     ("fmg", 1.0, None),
     ("fmg_maf", 1.0, None),
+    ("fd", 1.0, None),
+    ("fd_maf", 1.0, None),
+    ("pbicgstab", 1.1, "fd"),
     ("pbicgstab", 1.1, "mg"),
     ("pbicgstab_maf", 1.1, "mg_maf"),
     ("cg", 0.8, None),

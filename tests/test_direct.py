@@ -1,0 +1,103 @@
+"""3D fast-diagonalization direct solver (solvers/direct.py — extension).
+
+Pinned properties: ONE-iteration convergence to machine-level residual,
+h^2 discretization-error scaling of the result (i.e. the solve is exact —
+no leftover algebraic error, unlike the eps-stopped iterative rows),
+constant AND variable-coefficient (MAF) families, agreement with the
+oracle-pinned iterative solvers' limit, rejection of non-separable
+(masked) problems, and one-application use as a Krylov preconditioner.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cubez_tpu import Problem, max_error, solve
+
+
+@pytest.mark.parametrize(
+    "name,maf", [("fd", False), ("fd_maf", True)]
+)
+def test_fd_one_shot_machine_residual(name, maf):
+    prob = Problem.poisson_cube(32, maf=maf)
+    r = solve(prob, name, omega=1.0, itr_max=10)
+    assert r.iters == 1
+    assert r.res < 1e-6  # machine-level, far below the 1e-5 default eps
+
+
+def test_fd_error_is_discretization_h2():
+    """The one-shot error against the analytic solution scales as h^2 —
+    the signature of an EXACT discrete solve (an eps-stopped iterative
+    solve plateaus at its algebraic error instead; e.g. mg at 128^3
+    leaves 3.5e-4 where the discrete solution sits at 3.6e-5)."""
+    errs = {}
+    for n in (16, 32, 64):
+        prob = Problem.poisson_cube(n)
+        r = solve(prob, "fd", omega=1.0, itr_max=5)
+        errs[n] = max_error(prob.grid, r.x)
+    # halving h divides the error by ~4 (allow generous slack)
+    assert errs[32] < errs[16] / 2.5
+    assert errs[64] < errs[32] / 2.5
+
+
+def test_fd_matches_converged_iterative():
+    """fd's answer is the limit the oracle-pinned iterative solvers
+    approach: driving sor2sma far past the default eps converges toward
+    the fd field."""
+    prob = Problem.poisson_cube(24)
+    rd = solve(prob, "fd", omega=1.0, itr_max=5)
+    ri = solve(prob, "sor2sma", omega=1.5, itr_max=20000, eps=1e-30)
+    assert float(jnp.max(jnp.abs(rd.x - ri.x))) < 5e-6
+
+
+def test_fd_maf_matches_mg_maf_limit():
+    prob = Problem.poisson_cube(24, maf=True)
+    rd = solve(prob, "fd_maf", omega=1.0, itr_max=5)
+    rm = solve(prob, "mg_maf", omega=1.0, itr_max=60, eps=1e-7)
+    assert float(jnp.max(jnp.abs(rd.x - rm.x))) < 1e-5
+
+
+def test_fd_rejects_nonstandard_mask():
+    prob = Problem.poisson_cube(16)
+    holed = np.asarray(prob.msk).copy()
+    holed[8, 8, 8] = 0.0
+    bad = dataclasses.replace(prob, msk=jnp.asarray(holed))
+    with pytest.raises(ValueError, match="mask"):
+        solve(bad, "fd", omega=1.0, itr_max=5)
+
+
+def test_fd_f64():
+    jax.config.update("jax_enable_x64", True)
+    try:
+        prob = Problem.poisson_cube(24, dtype=jnp.float64)
+        r = solve(prob, "fd", omega=1.0, itr_max=5)
+        assert r.iters == 1
+        assert r.res < 1e-12
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+
+def test_bicgstab_fd_precond():
+    """The exact inverse as a (one-application) preconditioner: BiCGSTAB
+    converges in 1-2 iterations."""
+    prob = Problem.poisson_cube(32)
+    r = solve(prob, "pbicgstab", omega=1.1, itr_max=20, precond="fd")
+    assert r.iters <= 2
+    assert r.res < 1e-5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_fd_dist_matches_serial():
+    """fd distributes through the auto-SPMD fallback (the einsum
+    contractions shard under GSPMD)."""
+    from cubez_tpu.parallel import make_mesh, solve_dist
+
+    prob = Problem.poisson_cube(24)
+    cm = make_mesh(prob.grid.shape_kij)
+    rd = solve_dist(prob, cm, "fd", omega=1.0, itr_max=5)
+    rs = solve(prob, "fd", omega=1.0, itr_max=5)
+    assert rd.iters == rs.iters == 1
+    assert np.abs(np.asarray(rd.x) - np.asarray(rs.x)).max() < 1e-5
