@@ -31,7 +31,9 @@ from .bicgstab import FLT_MIN, PRECOND_SWEEPS, _fused_precon
 from .driver import SolveResult, _res_dtype, fixed_sweeps
 
 # preconditioners that are symmetric for the constant-coefficient operator
-SYMMETRIC_PRECONDS = ("jacobi",)
+# (fd = the exact fast-diagonalization inverse, solvers/direct.py — SPD,
+# applied once per iteration)
+SYMMETRIC_PRECONDS = ("jacobi", "fd")
 
 
 def make_cg(
@@ -58,12 +60,13 @@ def make_cg(
                 f"({', '.join(SYMMETRIC_PRECONDS)} or none); "
                 f"'{precond}' is nonsymmetric — use pbicgstab with it"
             )
+        nsw = 1 if kind == "fd" else PRECOND_SWEEPS
         precon = _fused_precon(problem, precond, omega_accel, impl, cmesh)
         if precon is None:
             pstep = steps_mod.make_step(problem, precond, omega_accel,
                                         b_arg_is_problem_rhs=False)
             precon = lambda bb: fixed_sweeps(
-                pstep, jnp.zeros_like(bb), bb, PRECOND_SWEEPS
+                pstep, jnp.zeros_like(bb), bb, nsw
             )
         # the sweeps approximate calc_ax^{-1}; they are linear in bb (zero
         # initial guess), so -precon(-r) == precon(r) and the negated-system

@@ -101,3 +101,12 @@ def test_fd_dist_matches_serial():
     rs = solve(prob, "fd", omega=1.0, itr_max=5)
     assert rd.iters == rs.iters == 1
     assert np.abs(np.asarray(rd.x) - np.asarray(rs.x)).max() < 1e-5
+
+
+def test_cg_fd_precond():
+    """fd's inverse is SPD for the constant operator, so CG admits it
+    (one application per iteration): 1-2 Krylov iterations."""
+    prob = Problem.poisson_cube(32)
+    r = solve(prob, "cg", omega=1.0, itr_max=20, precond="fd")
+    assert r.iters <= 2
+    assert r.res < 1e-5
