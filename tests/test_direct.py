@@ -110,3 +110,16 @@ def test_cg_fd_precond():
     r = solve(prob, "cg", omega=1.0, itr_max=20, precond="fd")
     assert r.iters <= 2
     assert r.res < 1e-5
+
+
+@pytest.mark.parametrize("maf", [False, True])
+def test_fd_noncubic(maf):
+    """Distinct per-axis extents exercise the three separate axis
+    eigendecompositions; the answer matches the iterative limit."""
+    prob = Problem.poisson_cube((12, 10, 16), maf=maf)
+    name = "fd_maf" if maf else "fd"
+    rd = solve(prob, name, omega=1.0, itr_max=5)
+    assert rd.iters == 1 and rd.res < 1e-6
+    it = "sor2sma_maf" if maf else "sor2sma"
+    ri = solve(prob, it, omega=1.5, itr_max=20000, eps=1e-30)
+    assert float(jnp.max(jnp.abs(rd.x - ri.x))) < 5e-6
