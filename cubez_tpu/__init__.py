@@ -12,7 +12,7 @@ from .core.problem import Problem
 from .solvers.api import SOLVERS, solve
 from .solvers.driver import EPS_DEFAULT, SolveResult
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Grid",
