@@ -101,7 +101,6 @@ def make_fd_step(problem, maf: bool = False):
     """Build ``step(x, b) -> (x_new, r2)``: one direct solve applied as
     iterative refinement, plus the Jacobi-equivalent stopping update."""
     g = problem.grid
-    msk = problem.msk
     mc = problem.mc if maf else None
     if maf and mc is None:
         raise ValueError("fd_maf requested but Problem has no MafCoeffs")
@@ -112,14 +111,14 @@ def make_fd_step(problem, maf: bool = False):
     Vz, Vzi = jnp.asarray(Vz, dt), jnp.asarray(Vzi, dt)
     Vx, Vxi = jnp.asarray(Vx, dt), jnp.asarray(Vxi, dt)
     Vy, Vyi = jnp.asarray(Vy, dt), jnp.asarray(Vyi, dt)
-    # eigenvalue denominators in f64 precision, stored in dt
-    den = jnp.asarray(
-        1.0
-        / (
-            muz[:, None, None] + mux[None, :, None] + muy[None, None, :]
-        ),
-        dt,
-    )
+    # per-axis eigenvalues only — the (nk,ni,nj) denominator table is
+    # formed INSIDE the trace from these 1D vectors: a materialized 3D
+    # closure constant is N^3 * 4 bytes of wasted HBM and, through the
+    # remote-compile tunnel, blows the request-size limit at 512^3
+    # (HTTP 413)
+    muz_ = jnp.asarray(muz, dt)
+    mux_ = jnp.asarray(mux, dt)
+    muy_ = jnp.asarray(muy, dt)
 
     def minv(r):
         """M^-1 r on the inner grid via the three-axis eigenbasis:
@@ -128,7 +127,9 @@ def make_fd_step(problem, maf: bool = False):
         u = jnp.einsum("ak,kij->aij", Vzi, r, precision=hp)
         u = jnp.einsum("ci,aij->acj", Vxi, u, precision=hp)
         u = jnp.einsum("dj,acj->acd", Vyi, u, precision=hp)
-        u = u * den
+        u = u / (
+            muz_[:, None, None] + mux_[None, :, None] + muy_[None, None, :]
+        )
         u = jnp.einsum("jd,acd->acj", Vy, u, precision=hp)
         u = jnp.einsum("ic,acj->aij", Vx, u, precision=hp)
         return jnp.einsum("ka,aij->kij", Vz, u, precision=hp)
@@ -136,12 +137,24 @@ def make_fd_step(problem, maf: bool = False):
     inner = (slice(1, -1),) * 3
     r6 = jnp.asarray(1.0 / 6.0, dt)
 
+    def tmask(shape):
+        """Inner mask built IN-TRACE from iotas (like the fused kernels):
+        closing over problem.msk would embed an N^3 constant in the
+        executable — wasted HBM and, through the remote-compile tunnel,
+        an HTTP 413 at 512^3 (same reason the eigenvalue denominators
+        are formed in-trace above)."""
+        ms = []
+        for ax, n in enumerate(shape):
+            v = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+            ms.append((v >= 1) & (v <= n - 2))
+        return (ms[0] & ms[1] & ms[2]).astype(dt)
+
     if maf:
         def residual(x, b):
-            return (b - (mc.dd * x - mc.nbr_weighted(x))) * msk
+            return (b - (mc.dd * x - mc.nbr_weighted(x))) * tmask(x.shape)
     else:
         def residual(x, b):
-            return calc_rk(x, b, msk)
+            return calc_rk(x, b, tmask(x.shape))
 
     # r = b - M_sign A x; error equation: const A e = r with A = -M, so
     # e = -M^-1 r; MAF M e = r directly

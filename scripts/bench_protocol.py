@@ -47,6 +47,7 @@ CONFIGS = [
     ("fmg 128^3 (extension)", 128, "fmg", 1.0, None, 100),
     ("fd 128^3 (extension)", 128, "fd", 1.0, None, 10),
     ("fd 256^3 (extension)", 256, "fd", 1.0, None, 10),
+    ("fd 512^3 (extension)", 512, "fd", 1.0, None, 10),
     ("pbicgstab+mg 128^3 (extension)", 128, "pbicgstab", 1.1, "mg", 100),
     ("cg+jacobi 128^3 (extension)", 128, "cg", 0.8, "jacobi", 4000),
 ]
@@ -265,7 +266,8 @@ alternative and the kernel would be the most fragile in the repo.
 One fd application = six MXU contractions + residual metric: measured
 (64-vs-4 scan differencing) **0.48 ms at 128^3, 4.0 ms at 256^3** (~13
 TFLOP/s f32 HIGHEST) — one shot to machine-level residual (~2e-8),
-versus 29 ms / 510 ms of device time for the eps=1e-5 sor2sma solves.
+versus 29 ms / 510 ms of device time for the eps=1e-5 sor2sma solves
+(512^3: one shot in 0.12 s WALL vs sor2sma's 5.69 s, err 2.0e-6).
 Its one-shot err_max IS the true discretization error (3.6e-5 at 128^3,
 9.0e-6 at 256^3 — exact h^2 scaling), which shows the iterative rows'
 err_max at eps=1e-5 is algebraic-error dominated (mg leaves 3.5e-4,
