@@ -70,6 +70,10 @@ def test_fd_rejects_nonstandard_mask():
 
 
 def test_fd_f64():
+    # conftest enables x64 suite-wide; restore the PRIOR value, not a
+    # hardcoded one (a hardcoded False silently downgraded every later
+    # test in the session)
+    prev = jax.config.jax_enable_x64
     jax.config.update("jax_enable_x64", True)
     try:
         prob = Problem.poisson_cube(24, dtype=jnp.float64)
@@ -77,7 +81,7 @@ def test_fd_f64():
         assert r.iters == 1
         assert r.res < 1e-12
     finally:
-        jax.config.update("jax_enable_x64", False)
+        jax.config.update("jax_enable_x64", prev)
 
 
 def test_bicgstab_fd_precond():
