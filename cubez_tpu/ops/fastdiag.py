@@ -57,32 +57,44 @@ def maf_line_coeffs(mc, n: int):
     return wzm, wzp, 2.0 * c3, 2.0 * c1, 2.0 * c2
 
 
+def tridiag_eig(lo, dg, up):
+    """Eigendecomposition (V, Vinv, mu) of tridiag(lo, dg, up), float64.
+
+    ``lo``: (n-1,) entries at row k, col k-1; ``up``: row k, col k+1.
+    Symmetrized via diagonal similarity when the off-diagonal products
+    are positive — s_k / s_{k-1} = sqrt(lo_k / up_{k-1}), B = S^-1 D S
+    symmetric — so the eigenbasis is orthogonal (the stable path);
+    general eig fallback otherwise (still real for M-matrices).  Shared
+    by the 1D MAF line solver and the 3D direct solver
+    (solvers/direct.py)."""
+    lo = np.asarray(lo, np.float64)
+    up = np.asarray(up, np.float64)
+    dg = np.asarray(dg, np.float64)
+    prod = lo * up
+    if np.all(prod > 0):
+        ratio = np.sqrt(lo / up)
+        s = np.concatenate([[1.0], np.cumprod(ratio)])
+        off = np.sign(up) * np.sqrt(prod)
+        B = np.diag(dg) + np.diag(off, 1) + np.diag(off, -1)
+        mu, Q = np.linalg.eigh(B)
+        V = s[:, None] * Q
+        Vinv = Q.T / s[None, :]
+    else:
+        D = np.diag(dg) + np.diag(lo, -1) + np.diag(up, 1)
+        mu, V = np.linalg.eig(D)
+        mu, V = mu.real, V.real
+        Vinv = np.linalg.inv(V)
+    return V, Vinv, mu
+
+
 def maf_line_diag(mc, n: int, dtype=np.float32):
     """Eigendecomposition tables (V, Vinv, mu) of D for the MAF line system.
 
     D rows: [-wzm_k, 2 c3_k, -wzp_k] with the first sub- and last
     super-diagonal absent (a(kst)=0 / c(ked)=0, cz_maf.f90:552-572).
-    Symmetrized via diagonal similarity when the off-diagonal products are
-    positive (orthogonal eigenbasis); general eig fallback otherwise.
     """
     wzm, wzp, d2c3, _li, _lj = maf_line_coeffs(mc, n)
-    lo = -wzm[1:]   # row k, col k-1  (k = 1..n-1)
-    up = -wzp[:-1]  # row k, col k+1  (k = 0..n-2)
-    prod = lo * up
-    if np.all(prod > 0):
-        # s_k / s_{k-1} = sqrt(lo_k / up_{k-1});  B = S^-1 D S symmetric
-        ratio = np.sqrt(lo / up)
-        s = np.concatenate([[1.0], np.cumprod(ratio)])
-        off = np.sign(up) * np.sqrt(prod)
-        B = np.diag(d2c3) + np.diag(off, 1) + np.diag(off, -1)
-        mu, Q = np.linalg.eigh(B)
-        V = s[:, None] * Q
-        Vinv = Q.T / s[None, :]
-    else:  # non-monotone metric: general (still real for M-matrices)
-        D = np.diag(d2c3) + np.diag(lo, -1) + np.diag(up, 1)
-        mu, V = np.linalg.eig(D)
-        mu, V = mu.real, V.real
-        Vinv = np.linalg.inv(V)
+    V, Vinv, mu = tridiag_eig(-wzm[1:], d2c3, -wzp[:-1])
     return V.astype(dtype), Vinv.astype(dtype), mu.astype(dtype)
 
 

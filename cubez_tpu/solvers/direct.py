@@ -41,33 +41,7 @@ import jax.numpy as jnp
 
 from ..core.grid import Grid
 from ..ops.blas import calc_rk
-
-
-def _tridiag_eig(lo, dg, up):
-    """Eigendecomposition (V, Vinv, mu) of tridiag(lo, dg, up) (float64).
-
-    ``lo``: (n-1,) entries at row k, col k-1; ``up``: row k, col k+1.
-    Symmetrized via diagonal similarity when lo*up > 0 (orthogonal
-    eigenbasis — the stable path, same construction as
-    ops/fastdiag.maf_line_diag); general eig fallback otherwise."""
-    lo = np.asarray(lo, np.float64)
-    up = np.asarray(up, np.float64)
-    dg = np.asarray(dg, np.float64)
-    prod = lo * up
-    if np.all(prod > 0):
-        ratio = np.sqrt(lo / up)
-        s = np.concatenate([[1.0], np.cumprod(ratio)])
-        off = np.sign(up) * np.sqrt(prod)
-        B = np.diag(dg) + np.diag(off, 1) + np.diag(off, -1)
-        mu, Q = np.linalg.eigh(B)
-        V = s[:, None] * Q
-        Vinv = Q.T / s[None, :]
-    else:
-        D = np.diag(dg) + np.diag(lo, -1) + np.diag(up, 1)
-        mu, V = np.linalg.eig(D)
-        mu, V = mu.real, V.real
-        Vinv = np.linalg.inv(V)
-    return V, Vinv, mu
+from ..ops.fastdiag import tridiag_eig
 
 
 def _axis_tables(grid: Grid, mc):
@@ -81,20 +55,35 @@ def _axis_tables(grid: Grid, mc):
     if mc is None:
         out = []
         for n in (nk, ni, nj):
-            V, Vi, mu = _tridiag_eig(
+            V, Vi, mu = tridiag_eig(
                 np.full(n - 1, -1.0), np.full(n, 2.0), np.full(n - 1, -1.0)
             )
             out.append((V, Vi, mu))
         return out
 
-    def w(c_lo, c_hi, n):
-        c = np.asarray(c_lo, np.float64).reshape(-1)[1 : n + 1]
-        g = np.asarray(c_hi, np.float64).reshape(-1)[1 : n + 1]
+    def w(c_lo, c_hi, n, axis):
+        c = np.asarray(c_lo, np.float64).reshape(-1)
+        g = np.asarray(c_hi, np.float64).reshape(-1)
+        # separability contract: each coefficient is a per-axis 1D table
+        # (n+2 nodes).  A full 3D field broadcasts fine through the
+        # ITERATIVE MAF solvers, but reshape(-1) here would slice
+        # garbage — reject it loudly instead
+        if c.size != n + 2 or g.size != n + 2:
+            raise ValueError(
+                f"fd_maf needs per-axis 1D metric tables; axis {axis} "
+                f"coefficient has {c.size} entries, expected {n + 2} — "
+                f"a non-separable MafCoeffs cannot be fast-diagonalized"
+            )
+        c, g = c[1 : n + 1], g[1 : n + 1]
         wm = c - 0.5 * g  # weight toward index-1 neighbor
         wp = c + 0.5 * g  # weight toward index+1 neighbor
-        return _tridiag_eig(-wm[1:], 2.0 * c, -wp[:-1])
+        return tridiag_eig(-wm[1:], 2.0 * c, -wp[:-1])
 
-    return [w(mc.c3, mc.c9, nk), w(mc.c1, mc.c7, ni), w(mc.c2, mc.c8, nj)]
+    return [
+        w(mc.c3, mc.c9, nk, "K"),
+        w(mc.c1, mc.c7, ni, "I"),
+        w(mc.c2, mc.c8, nj, "J"),
+    ]
 
 
 def make_fd_step(problem, maf: bool = False):

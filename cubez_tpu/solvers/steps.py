@@ -94,6 +94,42 @@ def _named(label, fn):
     return wrapped
 
 
+def _require_standard_mask(problem: Problem, name: str):
+    """Raise unless problem.msk is the standard cube inner mask.
+
+    Device-side scalar checks (interior min == 1, global sum ==
+    num_inner, boundary-shell max |.| == 0 — together they pin the mask
+    to exactly 1 inside / 0 on the shell): a full np.array_equal would
+    gather N^3 elements to the host, ~512 MB at 512^3 through the
+    remote tunnel.  Works on sharded masks (the reductions lower to
+    collectives)."""
+    g = problem.grid
+    m = problem.msk
+    if m is g.inner_mask:
+        return
+    import jax
+    import jax.numpy as jnp
+
+    inner = (slice(1, -1),) * 3
+    faces = jnp.stack(
+        [
+            jnp.max(jnp.abs(f))
+            for f in (m[0], m[-1], m[:, 0], m[:, -1], m[:, :, 0], m[:, :, -1])
+        ]
+    )
+    imin, total, bmax = jax.device_get(
+        (jnp.min(m[inner]), jnp.sum(m), jnp.max(faces))
+    )
+    if not (
+        float(imin) == 1.0
+        and float(total) == float(g.num_inner)
+        and float(bmax) == 0.0
+    ):
+        raise ValueError(
+            f"{name} supports the standard cube inner mask only"
+        )
+
+
 def make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
               b_arg_is_problem_rhs: bool = True):
     """Build step(x, b) -> (x_new, r2) for any relaxation/line solver.
@@ -139,17 +175,12 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
     mc = problem.mc
 
     if kind == "fd":
-        import numpy as np
-
         from .direct import make_fd_step
 
         # the fast-diagonalization operator is the separable cube
         # operator: a non-standard mask (obstacle/void nodes) breaks
         # separability — reject instead of solving the wrong problem
-        if problem.msk is not g.inner_mask and not np.array_equal(
-            np.asarray(problem.msk), np.asarray(g.inner_mask)
-        ):
-            raise ValueError("fd supports the standard cube inner mask only")
+        _require_standard_mask(problem, "fd")
         return make_fd_step(problem, maf=is_maf)
 
     if kind in ("mg", "fmg"):
@@ -161,12 +192,7 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
         # Problem carrying a non-standard mask (obstacle/void nodes) would
         # silently solve the unmasked problem — coarsening such masks is
         # out of scope, so reject instead
-        if problem.msk is not g.inner_mask and not np.array_equal(
-            np.asarray(problem.msk), np.asarray(g.inner_mask)
-        ):
-            raise ValueError(
-                "mg supports the standard cube inner mask only"
-            )
+        _require_standard_mask(problem, "mg")
         if is_maf:
             # the level hierarchy derives its operators from the grid's
             # coordinate arrays; a Problem carrying coefficients from OTHER
