@@ -43,6 +43,17 @@ class Grid:
     nj: int
     nk: int
     dtype: jnp.dtype = jnp.float32
+    # Optional custom node coordinates (stretched grids) as tuples of floats
+    # — tuples keep the dataclass hashable.  When set, xc/yc/zc return these
+    # instead of the uniform i*pitch nodes, and everything that derives
+    # operators from coordinates (MafCoeffs, the mg_maf level hierarchy)
+    # follows.  bc_field/exact/max_error remain the UNIFORM-cube analytic
+    # problem (cz_utility.f90:52-129) and are not meaningful on a custom
+    # grid — stretched-grid problems carry their own exact fields
+    # (Problem.manufactured_stretched).
+    coords_i: tuple | None = None
+    coords_j: tuple | None = None
+    coords_k: tuple | None = None
 
     @property
     def shape_kij(self) -> tuple[int, int, int]:
@@ -67,6 +78,9 @@ class Grid:
 
     def coords(self, axis: str) -> jnp.ndarray:
         """Node coordinates along 'i' | 'j' | 'k', shape (n,)."""
+        custom = {"i": self.coords_i, "j": self.coords_j, "k": self.coords_k}[axis]
+        if custom is not None:
+            return jnp.asarray(custom, dtype=self.dtype)
         n = {"i": self.ni, "j": self.nj, "k": self.nk}[axis]
         return (jnp.arange(n, dtype=self.dtype) * self.dtype_(self.pitch)).astype(
             self.dtype

@@ -61,3 +61,81 @@ class Problem:
             pvt=pvt,
             rhs_inner_zero=True,
         )
+
+    @classmethod
+    def manufactured_stretched(
+        cls, n, dtype=jnp.float64, family: str = "relax"
+    ) -> tuple["Problem", jnp.ndarray]:
+        """Manufactured-solution Poisson problem on genuinely stretched
+        tensor-product coordinates — the discretization-level test the
+        reference cannot run (its driver only ever fills uniform coords,
+        cz_Evaluate.cpp:342-363, even though the MAF kernels accept any).
+
+        Coordinates: tanh clustering in x/z (two different strengths) and a
+        smooth sinusoidal perturbation in y — all smooth and monotone so the
+        MAF metrics (cz_maf.f90:68-101) stay second-order accurate.  Exact
+        solution u = sin(pi x) sin(pi y) sin(pi z) (zero on every face), so
+        -lap(u) = 3 pi^2 u.
+
+        ``family`` picks the RHS sign convention — the reference's MAF
+        kernels are internally INCONSISTENT about it (invisible on its
+        b == 0 benchmark, but decisive for any real source term):
+
+        * "relax" (the point sweeps + mg_maf/fmg_maf/fd_maf): psor_maf /
+          jacobi_maf / psor2sma_core_maf take ``rp + bb``
+          (cz_maf.f90:94-105), so the fixed point is ``dd x - rp = b``,
+          i.e. -L x = b with L the discrete Laplacian -> b = 3 pi^2 u.
+        * "krylov" (the LINE solvers + BiCGSTAB): pcr_rb_maf/pcr_maf build
+          the line RHS with ``- rhs`` (cz_maf.f90:558-566) and calc_rk_maf
+          forms r = (b - L x) pvt (cz_blas.f90:810-818), so both solve
+          L x = b -> b = -3 pi^2 u.
+
+        (The constant-coefficient family is consistent: L x = b
+        everywhere.)  Returns (problem, exact_field).
+        """
+        import numpy as np
+
+        if isinstance(n, int):
+            n = (n, n, n)
+        ni, nj, nk = n
+
+        def tanh_stretch(m, beta):
+            t = np.linspace(0.0, 1.0, m)
+            return 0.5 * (1.0 + np.tanh(beta * (2.0 * t - 1.0)) / np.tanh(beta))
+
+        def sine_stretch(m, amp=0.08):
+            t = np.linspace(0.0, 1.0, m)
+            return t - amp * np.sin(2.0 * np.pi * t) / (2.0 * np.pi)
+
+        xs = tanh_stretch(ni, 1.8)
+        ys = sine_stretch(nj)
+        zs = tanh_stretch(nk, 1.2)
+        grid = Grid(
+            ni=ni, nj=nj, nk=nk, dtype=dtype,
+            coords_i=tuple(float(v) for v in xs),
+            coords_j=tuple(float(v) for v in ys),
+            coords_k=tuple(float(v) for v in zs),
+        )
+        mc = MafCoeffs.from_coords(grid.xc, grid.yc, grid.zc)
+
+        u = (
+            np.sin(np.pi * zs)[:, None, None]
+            * np.sin(np.pi * xs)[None, :, None]
+            * np.sin(np.pi * ys)[None, None, :]
+        )
+        b = 3.0 * np.pi**2 * u
+        if family == "krylov":
+            b = -b
+        elif family != "relax":
+            raise ValueError(f"unknown family {family!r}")
+        msk = grid.inner_mask
+        prob = cls(
+            grid=grid,
+            x0=jnp.zeros(grid.shape_kij, dtype=dtype),
+            rhs=jnp.asarray(b, dtype=dtype) * msk,
+            msk=msk,
+            mc=mc,
+            pvt=mc.pivot(),
+            rhs_inner_zero=False,
+        )
+        return prob, jnp.asarray(u, dtype=dtype)

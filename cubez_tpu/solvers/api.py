@@ -53,25 +53,22 @@ def _initial_x(step, problem: Problem):
     from the RHS with one F-cycle instead.  The jitted initializer is
     cached on the step so repeated solves reuse the executable.
 
-    The F-cycle DISCARDS x0 by construction (it derives the interior from
-    the RHS and carries the grid's standard Dirichlet shells down the
-    hierarchy), so silently accepting a non-standard x0 — a checkpoint
-    restart, or a shell differing from grid.bc_field — would throw the
-    caller's state away; reject those (``mg`` honors x0)."""
+    The F-cycle keeps x0's boundary shell (it becomes the per-level
+    Dirichlet data) but DISCARDS x0's interior (derived from the RHS
+    instead), so silently accepting an x0 with interior state — a
+    checkpoint restart — would throw the caller's state away; reject
+    those (``mg`` honors x0)."""
     init = getattr(step, "fmg_init", None)
     if init is None:
         return problem.x0
     if not getattr(step, "_fmg_x0_checked", False):
         import numpy as np
 
-        if not np.array_equal(
-            np.asarray(problem.x0), np.asarray(problem.grid.initial_p())
-        ):
+        if np.any(np.asarray(problem.x0 * problem.msk)):
             raise ValueError(
-                "fmg derives its own initial iterate (standard Dirichlet "
-                "shell, interior from the RHS) and would discard this "
-                "problem's x0; use 'mg' to iterate from a custom or "
-                "restarted x0"
+                "fmg derives its initial interior from the RHS and would "
+                "discard this problem's x0 interior; use 'mg' to iterate "
+                "from a custom or restarted x0"
             )
         step._fmg_x0_checked = True  # steps are cached per problem object
     jitted = getattr(step, "_fmg_init_jit", None)

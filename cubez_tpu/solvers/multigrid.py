@@ -227,6 +227,7 @@ def make_mg_step(
     interpret: bool = False,
     maf: bool = False,
     fmg: bool = False,
+    bc_shell=None,
 ):
     """Build ``step(x, b) -> (x_new, r2)``: one V(nu1, nu2) cycle plus the
     Jacobi-equivalent residual (see module docstring).
@@ -323,8 +324,12 @@ def make_mg_step(
 
     if fmg:
         # per-level Dirichlet shells, injected down the hierarchy (module
-        # docstring: FMG solves the true BVP at every level)
-        bcs = [grid.bc_field * (1.0 - levels[0].msk)]
+        # docstring: FMG solves the true BVP at every level).  ``bc_shell``
+        # overrides the uniform-cube analytic profile — the problem's own
+        # Dirichlet data (e.g. the zero shell of a manufactured stretched
+        # problem); default preserves the standard Laplace BVP.
+        shell0 = grid.bc_field if bc_shell is None else bc_shell
+        bcs = [shell0 * (1.0 - levels[0].msk)]
         for lv in levels[1:]:
             bcs.append(_inject_coarse(bcs[-1], lv.shape))
 

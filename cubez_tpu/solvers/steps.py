@@ -219,6 +219,10 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
             b_is_zero=b_arg_is_problem_rhs and problem.rhs_is_inner_zero(),
             maf=is_maf,
             fmg=(kind == "fmg"),
+            # FMG imposes the PROBLEM's Dirichlet shell at every level
+            # (x0's boundary ring; == grid.bc_field for the standard cube)
+            bc_shell=(problem.x0 * (1.0 - problem.msk))
+            if kind == "fmg" else None,
         )
 
     if kind == "jacobi":

@@ -21,6 +21,19 @@
 //   pcr_j_esa            src/cz_f90/cz_solver.f90:1473-1676 (zero-extended, 2x2)
 //   PBiCGSTAB            src/cz_cpp/cz_Poisson.cpp:332-504
 //   Preconditioner       src/cz_cpp/cz_Poisson.cpp:273-322 (8 fixed sweeps)
+//   psor_maf             src/cz_f90/cz_maf.f90:23-114   (metrics per point)
+//   jacobi_maf           src/cz_f90/cz_maf.f90:131-282
+//   psor2sma_core_maf    src/cz_f90/cz_maf.f90:301-438
+//   pcr_rb_maf           src/cz_f90/cz_maf.f90:442-668  (variable tridiag, 2x2)
+//   pcr_maf              src/cz_f90/cz_maf.f90:672-892  (line-GS, 2x2 final —
+//                        unlike const pcr's 4x4; eda/esa MAF variants are the
+//                        same math with different work-array storage)
+//   calc_rk_maf/ax_maf   src/cz_f90/cz_blas.f90:738-936 (pvt row scaling)
+//   search_pivot         src/cz_f90/cz_blas.f90:947-1039
+//   coordinates          src/cz_cpp/cz_Evaluate.cpp:88,342-363 (uniform
+//                        xc[i] = (i-1)*pitch in REAL_TYPE; metrics depend on
+//                        coordinate DIFFERENCES only, so the driver's one-cell
+//                        index shift vs bc_k's x=(i-1)*dh is invisible)
 //   driver/stop rule     src/cz_cpp/cz_Poisson.cpp:39-79, eps=1e-5 (cz.h:162)
 //   exact solution       src/cz_f90/cz_utility.f90:52-82
 //
@@ -28,6 +41,7 @@
 // Writes "<solver>.txt" history rows "%6d, %13.6e" (cz_Poisson.cpp:71) and
 // prints "iters=... res=... errmax=..." on stdout.
 
+#include <algorithm>
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
@@ -385,6 +399,290 @@ void calc_rk(Field<Real>& r, const Field<Real>& x, const Field<Real>& b) {
                          Real(6) * x.at(k, i, j));
 }
 
+// ---- MAF (matrix-assembly-free variable-coefficient) family ---------------
+//
+// The driver initializes UNIFORM coordinates xc[i] = (i-1)*pitch in REAL_TYPE
+// (cz_Evaluate.cpp:88,342-363) and every MAF kernel recomputes the metric
+// terms from them per point in REAL_TYPE arithmetic (cz_maf.f90).  On the
+// uniform grid the MAF operator is numerically ~= the constant-coefficient
+// one, but the f32 metric arithmetic (i*pitch differences, reciprocals)
+// perturbs each coefficient by ulps, so the residual histories are distinct
+// — these sweeps reproduce that arithmetic literally.
+
+template <typename Real>
+std::vector<Real> make_coords(int n) {
+  // pitch = 1.0/(REAL_TYPE)(n-1); xc[i] = (REAL_TYPE)(i-1)*pitch
+  // (cz_Evaluate.cpp:88,344).  0-based node q <-> Fortran node q+1; only
+  // differences of entries are ever used, so the constant shift drops out.
+  Real pitch = static_cast<Real>(1.0 / static_cast<Real>(n - 1));
+  std::vector<Real> x(n);
+  for (int q = 0; q < n; ++q) x[q] = static_cast<Real>(q) * pitch;
+  return x;
+}
+
+template <typename Real>
+struct MafW {  // the seven row coefficients at one point
+  Real wxp, wxm, wyp, wym, wzp, wzm, dd;
+};
+
+// Literal transliteration of the psor_maf metric block (cz_maf.f90:68-94);
+// identical block in jacobi_maf/psor2sma_core_maf/calc_*_maf/search_pivot.
+template <typename Real>
+inline MafW<Real> maf_point_metrics(const std::vector<Real>& X,
+                                    const std::vector<Real>& Y,
+                                    const std::vector<Real>& Z, int i, int j,
+                                    int k) {
+  const Real half = Real(0.5);
+  Real XG = half * (X[i + 1] - X[i - 1]);
+  Real YE = half * (Y[j + 1] - Y[j - 1]);
+  Real ZT = half * (Z[k + 1] - Z[k - 1]);
+  Real XGG = X[i + 1] - Real(2) * X[i] + X[i - 1];
+  Real YEE = Y[j + 1] - Real(2) * Y[j] + Y[j - 1];
+  Real ZTT = Z[k + 1] - Real(2) * Z[k] + Z[k - 1];
+  Real YJA = XG * YE * ZT;
+  Real YJAI = Real(1) / YJA;
+  Real GX = YE * ZT * YJAI;
+  Real EY = XG * ZT * YJAI;
+  Real TZ = XG * YE * YJAI;
+  Real C1 = GX * GX, C2 = EY * EY, C3 = TZ * TZ;
+  Real C7 = -XGG * C1 * GX;
+  Real C8 = -YEE * C2 * EY;
+  Real C9 = -ZTT * C3 * TZ;
+  return {C1 + half * C7, C1 - half * C7, C2 + half * C8, C2 - half * C8,
+          C3 + half * C9, C3 - half * C9, Real(2) * (C1 + C2 + C3)};
+}
+
+template <typename Real>
+struct MafCtx {
+  std::vector<Real> X, Y, Z;
+  explicit MafCtx(int n) : X(make_coords<Real>(n)), Y(X), Z(X) {}
+};
+
+// rp = sum(w_nb * p_nb) + bb; dp = (rp/dd - pp)*omg (cz_maf.f90:94-105).
+// Note the "+ bb" sign — opposite to the const family's (ss - b); inner RHS
+// is zero in this benchmark so both conventions solve the same problem.
+template <typename Real>
+inline Real maf_dp(const Field<Real>& p, const Field<Real>& b,
+                   const MafCtx<Real>& mc, int i, int j, int k, Real omg) {
+  MafW<Real> w = maf_point_metrics(mc.X, mc.Y, mc.Z, i, j, k);
+  Real rp = w.wxp * p.at(k, i + 1, j) + w.wxm * p.at(k, i - 1, j) +
+            w.wyp * p.at(k, i, j + 1) + w.wym * p.at(k, i, j - 1) +
+            w.wzp * p.at(k + 1, i, j) + w.wzm * p.at(k - 1, i, j) +
+            b.at(k, i, j);
+  return (rp / w.dd - p.at(k, i, j)) * omg;
+}
+
+template <typename Real>
+double psor_maf_sweep(Field<Real>& p, const Field<Real>& b,
+                      const MafCtx<Real>& mc, Real omg) {
+  // cz_maf.f90:23-114: in-place, serial j,i,k order; res1 is REAL.
+  const int n = p.n;
+  Real res1 = 0;
+  for (int j = 1; j <= n - 2; ++j)
+    for (int i = 1; i <= n - 2; ++i)
+      for (int k = 1; k <= n - 2; ++k) {
+        Real dp = maf_dp(p, b, mc, i, j, k, omg);
+        p.at(k, i, j) += dp;
+        res1 += dp * dp;
+      }
+  return static_cast<double>(res1);
+}
+
+template <typename Real>
+double jacobi_maf_sweep(Field<Real>& p, const Field<Real>& b,
+                        const MafCtx<Real>& mc, Field<Real>& wk, Real omg) {
+  // cz_maf.f90:131-282: write wk2, copy back; res1 REAL (non-SVR build).
+  const int n = p.n;
+  Real res1 = 0;
+  for (int j = 1; j <= n - 2; ++j)
+    for (int i = 1; i <= n - 2; ++i)
+      for (int k = 1; k <= n - 2; ++k) {
+        Real dp = maf_dp(p, b, mc, i, j, k, omg);
+        wk.at(k, i, j) = p.at(k, i, j) + dp;
+        res1 += dp * dp;
+      }
+  for (int j = 1; j <= n - 2; ++j)
+    for (int i = 1; i <= n - 2; ++i)
+      for (int k = 1; k <= n - 2; ++k) p.at(k, i, j) = wk.at(k, i, j);
+  return static_cast<double>(res1);
+}
+
+template <typename Real>
+double sor2sma_maf_sweep(Field<Real>& p, const Field<Real>& b,
+                         const MafCtx<Real>& mc, Real omg) {
+  // psor2sma_core_maf both colors (cz_maf.f90:301-438), serial ip = 0;
+  // per-color res1 REAL, accumulated into double between colors.
+  const int n = p.n;
+  double res = 0.0;
+  for (int color = 0; color < 2; ++color) {
+    Real res1 = 0;
+    for (int j1 = 2; j1 <= n - 1; ++j1)
+      for (int i1 = 2; i1 <= n - 1; ++i1) {
+        int k1st = 2 + (i1 + j1 + color) % 2;
+        for (int k1 = k1st; k1 <= n - 1; k1 += 2) {
+          int i = i1 - 1, j = j1 - 1, k = k1 - 1;
+          Real dp = maf_dp(p, b, mc, i, j, k, omg);
+          p.at(k, i, j) += dp;
+          res1 += dp * dp;
+        }
+      }
+    res += static_cast<double>(res1);
+  }
+  return res;
+}
+
+// Variable-tridiagonal line construction for line (i,j)
+// (pcr_rb_maf, cz_maf.f90:519-572).  msk == 1 on every inner node of the
+// cube problem, so the msk factors reduce to 1 here.
+template <typename Real>
+void build_line_maf(const Field<Real>& x, const Field<Real>& b,
+                    const MafCtx<Real>& mc, int i, int j, std::vector<Real>& a,
+                    std::vector<Real>& c, std::vector<Real>& d,
+                    std::vector<Real>& c3, std::vector<Real>& c9,
+                    std::vector<Real>& w) {
+  const int n = x.n, m = n - 2;
+  const Real half = Real(0.5);
+  const std::vector<Real>& X = mc.X;
+  const std::vector<Real>& Y = mc.Y;
+  const std::vector<Real>& Z = mc.Z;
+  Real GX = Real(2) / (X[i + 1] - X[i - 1]);
+  Real EY = Real(2) / (Y[j + 1] - Y[j - 1]);
+  Real C1 = GX * GX, C2 = EY * EY;
+  Real C7 = -(X[i + 1] - Real(2) * X[i] + X[i - 1]) * C1 * GX;
+  Real C8 = -(Y[j + 1] - Real(2) * Y[j] + Y[j - 1]) * C2 * EY;
+  Real dd1 = C1 + half * C7;  // weight of x(i+1)
+  Real dd2 = C1 - half * C7;
+  Real cc1 = C2 + half * C8;  // weight of x(j+1)
+  Real cc2 = C2 - half * C8;
+  for (int kk = 0; kk < m; ++kk) {  // cz_maf.f90:533-540
+    int k = kk + 1;
+    Real f1 = Z[k + 1], f2 = Z[k - 1];
+    Real TZ = Real(2) / (f1 - f2);
+    Real ZTT = f1 - Real(2) * Z[k] + f2;
+    Real f3 = TZ * TZ;
+    c3[kk] = f3;
+    c9[kk] = -ZTT * f3 * TZ;
+    w[kk] = half / (C1 + C2 + f3);  // 1/R7 diagonal normalizer
+  }
+  a[0] = 0;
+  c[0] = -(c3[0] + half * c9[0]) * w[0];
+  for (int kk = 1; kk < m - 1; ++kk) {
+    a[kk] = -(c3[kk] - half * c9[kk]) * w[kk];
+    c[kk] = -(c3[kk] + half * c9[kk]) * w[kk];
+  }
+  a[m - 1] = -(c3[m - 1] - half * c9[m - 1]) * w[m - 1];
+  c[m - 1] = 0;
+  for (int kk = 0; kk < m; ++kk) {  // source (cz_maf.f90:558-566)
+    int k = kk + 1;
+    d[kk] = (dd1 * x.at(k, i + 1, j) + dd2 * x.at(k, i - 1, j) +
+             cc1 * x.at(k, i, j + 1) + cc2 * x.at(k, i, j - 1) -
+             b.at(k, i, j)) * w[kk];
+  }
+  // BC fold with the true z-weights (cz_maf.f90:571-572)
+  d[0] = d[0] + (c3[0] - half * c9[0]) * w[0] * x.at(0, i, j);
+  d[m - 1] = d[m - 1] + (c3[m - 1] + half * c9[m - 1]) * w[m - 1] *
+                            x.at(n - 1, i, j);
+}
+
+template <typename Real>
+double line_sweep_maf(Field<Real>& x, const Field<Real>& b,
+                      const MafCtx<Real>& mc, Real omg, LineMode mode) {
+  // pcr_rb_maf (RB colors) / pcr_maf (lexicographic = line-GS in serial
+  // order).  BOTH stop at stage pn-1 with a 2x2 final — unlike const pcr's
+  // pn-2 + 4x4 Cramer (cz_maf.f90:577-624, 803-849).  res1 is REAL for both
+  // (cz_maf.f90:457,686 declare `real res1`), unlike const pcr_rb's double.
+  const int n = x.n, m = n - 2;
+  const int pn = num_stage(m);
+  std::vector<Real> a(m), c(m), d(m), a1(m), c1(m), d1(m);
+  std::vector<Real> c3(m), c9(m), w(m);
+  Real res1 = 0;
+  if (mode == LineMode::GS) {
+    for (int j = 1; j <= n - 2; ++j)
+      for (int i = 1; i <= n - 2; ++i) {
+        build_line_maf(x, b, mc, i, j, a, c, d, c3, c9, w);
+        pcr_line_2x2(a, c, d, a1, c1, d1, m, pn);
+        for (int k = 0; k < m; ++k) {
+          Real pp = x.at(k + 1, i, j);
+          Real dp = (d1[k] - pp) * omg;
+          x.at(k + 1, i, j) = pp + dp;
+          res1 += dp * dp;
+        }
+      }
+    return static_cast<double>(res1);
+  }
+  for (int color = 0; color < 2; ++color)
+    for (int j1 = 2; j1 <= n - 1; ++j1)
+      for (int i1 = 2; i1 <= n - 1; ++i1) {
+        if ((i1 + j1) % 2 != color) continue;
+        int i = i1 - 1, j = j1 - 1;
+        build_line_maf(x, b, mc, i, j, a, c, d, c3, c9, w);
+        pcr_line_2x2(a, c, d, a1, c1, d1, m, pn);
+        for (int k = 0; k < m; ++k) {
+          Real pp = x.at(k + 1, i, j);
+          Real dp = (d1[k] - pp) * omg;
+          x.at(k + 1, i, j) = pp + dp;
+          res1 += dp * dp;
+        }
+      }
+  return static_cast<double>(res1);
+}
+
+// pvt = 1/max|row coefficient| on inner nodes (search_pivot,
+// cz_blas.f90:947-1039); boundary/halo entries stay 0 (zero-init alloc).
+template <typename Real>
+void search_pivot(Field<Real>& pvt, const MafCtx<Real>& mc) {
+  const int n = pvt.n;
+  for (int j = 1; j <= n - 2; ++j)
+    for (int i = 1; i <= n - 2; ++i)
+      for (int k = 1; k <= n - 2; ++k) {
+        MafW<Real> wv = maf_point_metrics(mc.X, mc.Y, mc.Z, i, j, k);
+        Real ss = std::fabs(wv.wxp);
+        ss = std::max(ss, std::fabs(wv.wxm));
+        ss = std::max(ss, std::fabs(wv.wyp));
+        ss = std::max(ss, std::fabs(wv.wym));
+        ss = std::max(ss, std::fabs(wv.wzp));
+        ss = std::max(ss, std::fabs(wv.wzm));
+        ss = std::max(ss, std::fabs(wv.dd));
+        pvt.at(k, i, j) = Real(1) / ss;
+      }
+}
+
+template <typename Real>
+void calc_ax_maf(Field<Real>& ap, const Field<Real>& p, const MafCtx<Real>& mc,
+                 const Field<Real>& pvt) {
+  // ap = (sum w_nb p_nb - dd p) * pvt (cz_blas.f90:845-936)
+  const int n = p.n;
+  for (int j = 1; j <= n - 2; ++j)
+    for (int i = 1; i <= n - 2; ++i)
+      for (int k = 1; k <= n - 2; ++k) {
+        MafW<Real> w = maf_point_metrics(mc.X, mc.Y, mc.Z, i, j, k);
+        ap.at(k, i, j) =
+            (w.wxp * p.at(k, i + 1, j) + w.wxm * p.at(k, i - 1, j) +
+             w.wyp * p.at(k, i, j + 1) + w.wym * p.at(k, i, j - 1) +
+             w.wzp * p.at(k + 1, i, j) + w.wzm * p.at(k - 1, i, j) -
+             w.dd * p.at(k, i, j)) *
+            pvt.at(k, i, j);
+      }
+}
+
+template <typename Real>
+void calc_rk_maf(Field<Real>& r, const Field<Real>& x, const Field<Real>& b,
+                 const MafCtx<Real>& mc, const Field<Real>& pvt) {
+  // r = (b + dd x - sum w_nb x_nb) * pvt (cz_blas.f90:738-831)
+  const int n = x.n;
+  for (int j = 1; j <= n - 2; ++j)
+    for (int i = 1; i <= n - 2; ++i)
+      for (int k = 1; k <= n - 2; ++k) {
+        MafW<Real> w = maf_point_metrics(mc.X, mc.Y, mc.Z, i, j, k);
+        r.at(k, i, j) =
+            (b.at(k, i, j) + w.dd * x.at(k, i, j) -
+             w.wxp * x.at(k, i + 1, j) - w.wxm * x.at(k, i - 1, j) -
+             w.wyp * x.at(k, i, j + 1) - w.wym * x.at(k, i, j - 1) -
+             w.wzp * x.at(k + 1, i, j) - w.wzm * x.at(k - 1, i, j)) *
+            pvt.at(k, i, j);
+      }
+}
+
 template <typename Real>
 void precondition(Field<Real>& xx, const Field<Real>& bb, const std::string& pc,
                   Real omg, Field<Real>& wk) {
@@ -400,6 +698,24 @@ void precondition(Field<Real>& xx, const Field<Real>& bb, const std::string& pc,
     else if (pc == "pcr_rb") line_sweep(xx, bb, omg, LineMode::RB);
     else if (pc == "pcr_j_esa") line_sweep(xx, bb, omg, LineMode::JACOBI);
     else { std::fprintf(stderr, "unknown precond %s\n", pc.c_str()); std::exit(2); }
+  }
+}
+
+template <typename Real>
+void precondition_maf(Field<Real>& xx, const Field<Real>& bb,
+                      const std::string& pc, Real omg, Field<Real>& wk,
+                      const MafCtx<Real>& mc) {
+  // Preconditioner dispatches MAF types to the MAF sweeps with the same
+  // fixed 8 inner iterations (cz_Poisson.cpp:273-322).
+  std::fill(xx.v.begin(), xx.v.end(), Real(0));
+  if (pc == "none" || pc == "copy") { xx.v = bb.v; return; }
+  for (int it = 0; it < 8; ++it) {
+    if (pc == "jacobi_maf") jacobi_maf_sweep(xx, bb, mc, wk, omg);
+    else if (pc == "psor_maf") psor_maf_sweep(xx, bb, mc, omg);
+    else if (pc == "sor2sma_maf") sor2sma_maf_sweep(xx, bb, mc, omg);
+    else if (pc == "pcr_maf") line_sweep_maf(xx, bb, mc, omg, LineMode::GS);
+    else if (pc == "pcr_rb_maf") line_sweep_maf(xx, bb, mc, omg, LineMode::RB);
+    else { std::fprintf(stderr, "unknown maf precond %s\n", pc.c_str()); std::exit(2); }
   }
 }
 
@@ -424,7 +740,56 @@ int run(int n, const std::string& solver, int itmax, double omega,
   int itr = 0;
   double res = 0.0;
 
-  if (solver == "pbicgstab") {
+  const bool maf = solver.size() > 4 &&
+                   solver.compare(solver.size() - 4, 4, "_maf") == 0;
+  MafCtx<Real> mc(maf ? n : 2);  // coords only built/used for MAF runs
+
+  if (solver == "pbicgstab_maf") {
+    // PBiCGSTAB with calc_rk_maf/calc_ax_maf + pvt row scaling
+    // (cz_Poisson.cpp:348-358, 412-423, 448-459); identical loop otherwise.
+    Field<Real> pvt(n);
+    search_pivot(pvt, mc);
+    Field<Real> r(n), r0(n), pv(n), p_(n), q(n), s(n), s_(n), t_(n);
+    calc_rk_maf(r, p, b, mc, pvt);
+    r0.v = r.v;
+    Real rho_old = 1, alpha = 0, om = 1;
+    for (itr = 1; itr < itmax; ++itr) {
+      Real rho = dot2(r, r0);
+      if (std::fabs(static_cast<double>(rho)) < 1.17549435e-38) { itr = 0; break; }
+      if (itr == 1) {
+        pv.v = r.v;
+      } else {
+        Real beta = rho / rho_old * alpha / om;
+        for (int j = 1; j <= n - 2; ++j)
+          for (int i = 1; i <= n - 2; ++i)
+            for (int k = 1; k <= n - 2; ++k)
+              pv.at(k, i, j) = r.at(k, i, j) +
+                               beta * (pv.at(k, i, j) - om * q.at(k, i, j));
+      }
+      precondition_maf(p_, pv, precond, omg, wk, mc);
+      calc_ax_maf(q, p_, mc, pvt);
+      alpha = rho / dot2(q, r0);
+      for (int j = 1; j <= n - 2; ++j)
+        for (int i = 1; i <= n - 2; ++i)
+          for (int k = 1; k <= n - 2; ++k)
+            s.at(k, i, j) = -alpha * q.at(k, i, j) + r.at(k, i, j);
+      precondition_maf(s_, s, precond, omg, wk, mc);
+      calc_ax_maf(t_, s_, mc, pvt);
+      om = dot2(t_, s) / dot1(t_);
+      for (int j = 1; j <= n - 2; ++j)
+        for (int i = 1; i <= n - 2; ++i)
+          for (int k = 1; k <= n - 2; ++k) {
+            p.at(k, i, j) += alpha * p_.at(k, i, j) + om * s_.at(k, i, j);
+            r.at(k, i, j) = -om * t_.at(k, i, j) + s.at(k, i, j);
+          }
+      res = static_cast<double>(dot1(r));
+      res = std::sqrt(res * res_normal);
+      std::fprintf(fh, "%6d, %13.6e\n", itr, res);
+      apply_bc(p, dh);
+      if (res < eps) break;
+      rho_old = rho;
+    }
+  } else if (solver == "pbicgstab") {
     Field<Real> r(n), r0(n), pv(n), p_(n), q(n), s(n), s_(n), t_(n);
     calc_rk(r, p, b);
     r0.v = r.v;
@@ -474,6 +839,11 @@ int run(int n, const std::string& solver, int itmax, double omega,
       else if (solver == "pcr") r2 = line_sweep(p, b, omg, LineMode::GS);
       else if (solver == "pcr_rb") r2 = line_sweep(p, b, omg, LineMode::RB);
       else if (solver == "pcr_j_esa") r2 = line_sweep(p, b, omg, LineMode::JACOBI);
+      else if (solver == "psor_maf") r2 = psor_maf_sweep(p, b, mc, omg);
+      else if (solver == "jacobi_maf") r2 = jacobi_maf_sweep(p, b, mc, wk, omg);
+      else if (solver == "sor2sma_maf") r2 = sor2sma_maf_sweep(p, b, mc, omg);
+      else if (solver == "pcr_maf") r2 = line_sweep_maf(p, b, mc, omg, LineMode::GS);
+      else if (solver == "pcr_rb_maf") r2 = line_sweep_maf(p, b, mc, omg, LineMode::RB);
       else { std::fprintf(stderr, "unknown solver %s\n", solver.c_str()); return 2; }
       res = std::sqrt(r2 * res_normal);
       std::fprintf(fh, "%6d, %13.6e\n", itr, res);
