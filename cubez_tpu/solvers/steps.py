@@ -231,27 +231,18 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
         return lambda x, b: stencil.jacobi_sweep(x, b, msk, omega)
 
     if kind == "psor":
-        hidx = stencil.hyperplane_index(g.shape_kij)
-        if is_maf:
-            def psor_maf_step(x, b):
-                # wavefront-exact Gauss-Seidel with MAF coefficients
-                import jax
+        # diagonal-plane affine-scan Gauss-Seidel: same serial dependency
+        # order as the reference psor/psor_maf, O(N^3) per sweep (see
+        # ops/psor_scan.py; the O(N^4) hyperplane-masked form it replaces
+        # stays in ops/stencil.py::psor_sweep as the bitwise-exact oracle
+        # for tests).  Requires an all-ones inner mask: the skewed scan
+        # would propagate THROUGH interior masked-off nodes.
+        from ..ops import psor_scan
 
-                smin = 3
-                smax = (g.nk - 2) + (g.ni - 2) + (g.nj - 2)
-
-                def body(s, carry):
-                    xx, r2 = carry
-                    m = msk * (hidx == s).astype(dtype)
-                    dp = maf_ops.maf_delta(xx, b, m, omega, mc)
-                    return xx + dp, r2 + jnp.sum(dp * dp)
-
-                return jax.lax.fori_loop(
-                    smin, smax + 1, body, (x, jnp.zeros((), dtype))
-                )
-
-            return psor_maf_step
-        return lambda x, b: stencil.psor_sweep(x, b, msk, omega, hidx)
+        _require_standard_mask(problem, "psor")
+        return psor_scan.make_psor_diag_step(
+            g.shape_kij, dtype, omega, mc=mc if is_maf else None
+        )
 
     if kind == "sor2sma":
         cmasks = stencil.color_masks(g.shape_kij, offset=color_offset, dtype=dtype)

@@ -53,6 +53,53 @@ def test_psor_converges():
     assert err < 2e-2  # h ~ 1/15 discretization error
 
 
+def test_psor_diag_scan_matches_hyperplane_exact():
+    """The production psor step (diagonal-plane affine scans,
+    ops/psor_scan.py) follows the SAME serial Gauss-Seidel dependency order
+    as the bitwise-exact hyperplane sweep (ops/stencil.py::psor_sweep) — in
+    f64 the two must agree to machine epsilon, const AND MAF."""
+    import jax
+
+    from cubez_tpu.ops import psor_scan, stencil
+    from cubez_tpu.ops import maf as maf_ops
+
+    prob = Problem.poisson_cube(20, dtype=jnp.float64)
+    hidx = stencil.hyperplane_index(prob.grid.shape_kij)
+    fast = psor_scan.make_psor_diag_step(prob.grid.shape_kij, jnp.float64, 1.1)
+    xa = xb = prob.x0
+    for _ in range(3):
+        xa, r2a = stencil.psor_sweep(xa, prob.rhs, prob.msk, 1.1, hidx)
+        xb, r2b = fast(xb, prob.rhs)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(float(r2a), float(r2b), rtol=1e-13)
+
+    # MAF: hyperplane loop with metric coefficients vs the scan step
+    prob, _ = Problem.manufactured_stretched(20, dtype=jnp.float64)
+    fastm = psor_scan.make_psor_diag_step(
+        prob.grid.shape_kij, jnp.float64, 1.1, mc=prob.mc
+    )
+    smax = 3 * (20 - 2)
+
+    def hyper_maf(x, b):
+        def body(s, carry):
+            xx, r2 = carry
+            m = prob.msk * (hidx == s).astype(x.dtype)
+            dp = maf_ops.maf_delta(xx, b, m, 1.1, prob.mc)
+            return xx + dp, r2 + jnp.sum(dp * dp)
+
+        return jax.lax.fori_loop(3, smax + 1, body,
+                                 (x, jnp.zeros((), x.dtype)))
+
+    xa = xb = prob.x0
+    for _ in range(3):
+        xa, r2a = hyper_maf(xa, prob.rhs)
+        xb, r2b = fastm(xb, prob.rhs)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                               rtol=0, atol=1e-14)
+    np.testing.assert_allclose(float(r2a), float(r2b), rtol=1e-13)
+
+
 def test_history_monotone_tail():
     _, res = _solve("sor2sma", 1.5)
     h = res.history
