@@ -148,6 +148,8 @@ def solve_dist(
             result = run_iterative(
                 sstep, _initial_x(sstep, prob_sh), prob_sh.rhs,
                 g.res_normal, itr_max, eps, check_every=check_every,
+                pre=getattr(sstep, "_pre", None),
+                post=getattr(sstep, "_post", None),
             )
 
     if history_path:

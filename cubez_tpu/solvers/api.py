@@ -144,6 +144,10 @@ def solve(
         result = run_iterative(
             step, _initial_x(step, problem), problem.rhs, g.res_normal,
             itr_max, eps, check_every=check_every,
+            # steps that run on their own state layout (psor's skewed
+            # diagonal layout, ops/psor_scan.py) carry converters
+            pre=getattr(step, "_pre", None),
+            post=getattr(step, "_post", None),
         )
 
     if history_path:

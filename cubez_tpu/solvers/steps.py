@@ -284,50 +284,18 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
         # line-GS at line (i,j) reads updated (i-1,j),(i,j-1) — both on
         # diagonal i+j-1 — and old (i+1,j),(i,j+1) on diagonal i+j+1, so
         # sweeping diagonals d = i+j in order reproduces the serial
-        # reference pcr (cz_solver.f90:848-856) exactly.  Cost is
-        # O(ni+nj) full-plane line solves per iteration — parity/oracle
-        # use only; production line solvers are pcr_rb / pcr_j_esa.
-        import jax
+        # reference pcr (cz_solver.f90:848-856) exactly.  Each diagonal
+        # solves ONLY its own lines through the production PCR stage
+        # tables in the skewed layout (ops/pcr_gs.py) — O(N^3 log N) per
+        # sweep.  Requires the standard all-ones inner mask (the skewed
+        # per-diagonal solve drops the per-node msk factors).
+        from ..ops import pcr_gs
 
-        ii = jnp.arange(g.ni, dtype=jnp.int32).reshape(1, g.ni, 1)
-        jj = jnp.arange(g.nj, dtype=jnp.int32).reshape(1, 1, g.nj)
-        dsum = ii + jj
-        d_lo, d_hi = 2, (g.ni - 2) + (g.nj - 2)  # inner i, j start at 1
-        pn = pcr_ops.num_stage(n)
-        if is_maf:
-            def pcr_gs_maf_step(x, b):
-                def body(dg, carry):
-                    xx, r2 = carry
-                    dm = (dsum == dg).astype(dtype)
-                    a, c, d = pcr_ops.build_line_system_maf(
-                        xx, b, msk, mc, kst, ked
-                    )
-                    sol = pcr_ops.pcr_reduce_var(a, c, d, pn)
-                    dp = (sol - xx[kst : ked + 1]) * om * msk_in * dm
-                    return xx.at[kst : ked + 1].add(dp), r2 + jnp.sum(dp * dp)
-
-                return jax.lax.fori_loop(
-                    d_lo, d_hi + 1, body, (x, jnp.zeros((), dtype))
-                )
-
-            return pcr_gs_maf_step
-
-        plan = pcr_ops.build_pcr_plan(n, dtype)
-
-        def pcr_gs_step(x, b):
-            def body(dg, carry):
-                xx, r2 = carry
-                dm = (dsum == dg).astype(dtype)
-                d = pcr_ops.build_line_rhs(xx, b, msk, kst, ked)
-                sol = pcr_ops.pcr_reduce_const(d, plan)
-                dp = (sol - xx[kst : ked + 1]) * om * msk_in * dm
-                return xx.at[kst : ked + 1].add(dp), r2 + jnp.sum(dp * dp)
-
-            return jax.lax.fori_loop(
-                d_lo, d_hi + 1, body, (x, jnp.zeros((), dtype))
-            )
-
-        return pcr_gs_step
+        _require_standard_mask(problem, "pcr")
+        return pcr_gs.make_pcr_gs_diag_step(
+            g.shape_kij, dtype, omega, mc=mc if is_maf else None,
+            kst=kst, ked=ked,
+        )
 
     if kind == "pcr_rb":
         lmasks = pcr_ops.line_color_masks(g.ni, g.nj, color_offset, dtype)

@@ -66,13 +66,18 @@ def test_psor_diag_scan_matches_hyperplane_exact():
     prob = Problem.poisson_cube(20, dtype=jnp.float64)
     hidx = stencil.hyperplane_index(prob.grid.shape_kij)
     fast = psor_scan.make_psor_diag_step(prob.grid.shape_kij, jnp.float64, 1.1)
-    xa = xb = prob.x0
+    xa = prob.x0
+    xb, bs = fast._pre(prob.x0), fast._pre(prob.rhs)
     for _ in range(3):
         xa, r2a = stencil.psor_sweep(xa, prob.rhs, prob.msk, 1.1, hidx)
-        xb, r2b = fast(xb, prob.rhs)
-    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+        xb, r2b = fast(xb, bs)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(fast._post(xb)),
                                rtol=0, atol=1e-14)
     np.testing.assert_allclose(float(r2a), float(r2b), rtol=1e-13)
+    # skew/unskew round-trip is exact
+    np.testing.assert_array_equal(
+        np.asarray(fast._post(fast._pre(prob.x0))), np.asarray(prob.x0)
+    )
 
     # MAF: hyperplane loop with metric coefficients vs the scan step
     prob, _ = Problem.manufactured_stretched(20, dtype=jnp.float64)
@@ -91,11 +96,12 @@ def test_psor_diag_scan_matches_hyperplane_exact():
         return jax.lax.fori_loop(3, smax + 1, body,
                                  (x, jnp.zeros((), x.dtype)))
 
-    xa = xb = prob.x0
+    xa = prob.x0
+    xb, bs = fastm._pre(prob.x0), fastm._pre(prob.rhs)
     for _ in range(3):
         xa, r2a = hyper_maf(xa, prob.rhs)
-        xb, r2b = fastm(xb, prob.rhs)
-    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+        xb, r2b = fastm(xb, bs)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(fastm._post(xb)),
                                rtol=0, atol=1e-14)
     np.testing.assert_allclose(float(r2a), float(r2b), rtol=1e-13)
 
