@@ -65,18 +65,21 @@ def sweep_cost(name: str, shape, itemsize: int = 4, b_is_zero: bool = False):
     if b_is_zero and f"{name}_b0" in COSTS:
         key = f"{name}_b0"
     if key not in COSTS and name.startswith("pcr"):
-        # MXU line kernels (pallas_kernels/lines.py): dense T^-1 matmul per
-        # line = 2n flop/pt (const) or 4n (MAF fast-diagonalization), both
-        # colors for the rb kinds; transverse build ~6-12 flop/pt.  HBM
-        # traffic stays read x + write x — the solve lives in VMEM/MXU.
-        n = shape[0] - 2
-        per_pt = 6.0 + 2.0 * n
-        if name.startswith("pcr_rb"):
-            per_pt *= 2.0  # both red-black colors in one pass
+        # MXU line kernels: dense T^-1 matmul per line = 2K flop/pt (const)
+        # or 4K (MAF fast-diagonalization: V^-1 and V matmuls); transverse
+        # build ~6-12 flop/pt.  The production rb kernel packs lines by
+        # color (pallas_kernels/rblines.py), so one red-black iteration is
+        # ONE full-plane solve — same per-point matmul work as the
+        # line-Jacobi form, NOT two.  The matmul contracts over the padded
+        # K extent (Kp = round_up(K, 8)).  HBM traffic stays read x +
+        # write x [+ read b] — the solve lives in VMEM/MXU.
+        kp = -(-shape[0] // 8) * 8
+        per_pt = 6.0 + 2.0 * kp
         if name.endswith("_maf"):
             per_pt *= 2.0  # V and V^-1 matmuls
         npts = math.prod(shape)
-        return per_pt * npts, 3 * npts * itemsize
+        streams = 2 if b_is_zero else 3  # kernels skip the zero-RHS stream
+        return per_pt * npts, streams * npts * itemsize
     c = COSTS[key]
     npts = math.prod(shape)
     return c.flops(npts), c.bytes(npts, itemsize)

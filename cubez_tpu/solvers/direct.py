@@ -30,6 +30,18 @@ driver = one direct solve applied as iterative refinement
 eps = 1e-5 with unchanged history/eps semantics.  The stopping metric is
 the omega=1 Jacobi-equivalent update, directly comparable to mg's
 (solvers/multigrid.py docstring).
+
+Sharded cost (measured, SCALING.md "Distributed fd"): under auto-SPMD
+GSPMD executes the three contractions by ALL-GATHERING — compiled-HLO
+inventory on the 8-device mesh shows 3 all-gathers + 6 all-reduces
+totalling ~1.75x the global field received per device per solve (14.7 +
+14.0 MB at 128^3 vs the 8.4 MB field).  Cheap in absolute terms for a
+one-shot direct solve at bench scale, but the per-device traffic grows
+with the GLOBAL N^3: the weak-scaling-safe formulation is 3 shard-LOCAL
+contractions + 2 all-to-all transposes (N^3/P per device per transpose,
+the standard distributed-FFT pattern) — deferred until multi-chip
+hardware exists to measure it on, and the sharded entry point stays
+correct either way (GSPMD falls back to gathering).
 """
 
 from __future__ import annotations

@@ -296,6 +296,32 @@ err_max at eps=1e-5 is algebraic-error dominated (mg leaves 3.5e-4,
 sor2sma 1.5e-2 at 128^3): solver accuracy comparisons at fixed eps
 measure the stopping rule, not the discretization.
 
+## Line-kernel rooflines (which resource binds; scripts/roofline_lines.py)
+
+Marginal per-iteration device time by long-minus-short scan differencing
+(2000-vs-250 sweeps inside single executables, distinct random starts +
+host-fetched digest per call, median-of-5).  Attributions: analytic
+streams (read x + write x; zero-RHS stream skipped; the temporally-blocked
+sor2sma pair streams HBM once per TWO iterations) and matmul flops 2*Kp
+(const) / 4*Kp (MAF) per point.  Ceilings assumed: HBM 819 GB/s; MXU f32
+via Precision.HIGHEST ~= 197/8 = 24.6 TFLOP/s (v5e).
+
+| kernel (128^3) | us/iter | Mcells/s | GB/s | %SoL HBM | TFLOP/s | %SoL MXU(f32) | binding |
+|---|---|---|---|---|---|---|---|
+| sor2sma (pair) | 14.6 | 137207 | 575 | 70% | 2.6 | 11% | HBM |
+| pcr_rb | 23.6 | 84940 | 712 | 87% | 23.3 | 95% | MXU |
+| pcr_j_esa | 23.6 | 84671 | 710 | 87% | 23.3 | 94% | MXU |
+| pcr_rb_maf | 43.5 | 45953 | 385 | 47% | 25.2 | 103% | MXU |
+
+Reading: **the pcr_rb-vs-sor2sma cells/s gap is inherent on this
+hardware.**  pcr_rb runs at ~95% of the f32 MXU ceiling *and* 87% of HBM
+simultaneously — there is no headroom on either resource, and the
+temporal-blocking trick that doubles sor2sma's cells/s only helps
+HBM-bound kernels (a 2-iteration line kernel would still serialize on the
+same MXU work).  pcr_rb_maf saturates the MXU outright (the ~3% over
+100% is the model ignoring its +6% packed-row padding), confirming the
+documented 2x matmul-count bound below.
+
 ## MAF line-solver cost ratio
 
 The inherent bound on pcr_rb_maf vs pcr_rb is 2x: the constant-coefficient
