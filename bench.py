@@ -8,12 +8,13 @@ fixed iteration count on the local chip and prints ONE JSON line.
 sweep (the reference publishes no absolute numbers — BASELINE.md — so the
 roofline is the meaningful yardstick).  The SoL denominator is the *minimal*
 HBM traffic for one full RB iteration with zero RHS: one read + one write of
-the field (2 passes).  The temporally-blocked pair kernel (sweeps2x.py)
-amortizes that traffic over TWO iterations, so vs_baseline may legitimately
-exceed 1.0 — it beats the single-iteration speed-of-light.  All viable
-kernels are timed and the fastest is reported (measured on v5e the sweep is
-VPU-bound, so the pair kernel's halved HBM traffic does not automatically
-win; hard-coding a preference mis-reported the headline in round 2).
+the field (2 passes).  The temporally-blocked kernels (sweeps2x.py) amortize
+that traffic over n iterations (the pair, and the generalized n-window
+pipeline at n=4/6), so vs_baseline may legitimately exceed 1.0 — they beat
+the single-iteration speed-of-light.  All viable kernels are timed and the
+fastest is reported (measured on v5e the sweep is VPU-bound, so deeper
+blocking does not automatically win; hard-coding a preference mis-reported
+the headline in round 2).
 
 Timing methodology (hardened against remote-execution tunnels):
 * every timed call computes a scalar digest fetched to the host, so a
@@ -126,7 +127,16 @@ def main():
 
             return rbpack.make_packed_sweep2x(shape, jnp.float32, omega=OMEGA)
 
+        def _packednx(n):
+            from cubez_tpu.pallas_kernels import rbpack
+
+            return rbpack.make_packed_sweepnx(
+                shape, jnp.float32, omega=OMEGA, n=n
+            )
+
         maybe = [
+            ("pallas-rbpack-4x", lambda: _packednx(4)),
+            ("pallas-rbpack-6x", lambda: _packednx(6)),
             ("pallas-rbpack-2x", _packed2x),
             ("pallas-rbpack", _packed),
             ("pallas-fused",

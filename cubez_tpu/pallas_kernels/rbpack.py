@@ -506,6 +506,115 @@ def make_packed_sweep2x(
     return pair_step
 
 
+def make_packed_sweepnx(
+    shape,
+    dtype=jnp.float32,
+    *,
+    omega: float,
+    n: int = 3,
+    offset: int = 0,
+    kt: int | None = None,
+    mc=None,
+    vmem_limit_bytes: int = 100 << 20,
+    interpret: bool = False,
+):
+    """``n`` full packed RB iterations per HBM pass (zero-RHS only).
+
+    Generalizes :func:`make_packed_sweep2x` through sweeps2x.build_nx: the
+    kernel keeps ``n-1`` lagged iteration windows resident in VMEM while
+    the K-slab pipeline streams the cube once, so per PASS it does one
+    read + one write of the packed field for ``n`` iterations.  Field
+    values are bitwise-equal to ``n`` single packed sweeps; r2 is an
+    (n,) vector of the iterations' residual sums.  Returns None when the
+    layout or a viable K tiling does not exist (callers fall back to the
+    2x pair / single sweep).  ``n`` is capped at 3 with ``mc``: the
+    resident per-k MAF table's 8-row guard band covers k0_mid >= -8
+    (_rb_pair_packed_maf), and window w runs at k0_mid = -2w - 1 on
+    tile 0.
+    """
+    from . import sweeps2x
+
+    K, I, J = shape
+    if I % 2 or n < 2 or (mc is not None and n > 3):
+        return None
+    _, _, _, I2, I2p, Jp = _dims(shape)
+    IPP = 2 * I2p
+    itemsize = jnp.dtype(dtype).itemsize
+    table_bytes = (
+        (8 * I2p + 4 * (K + 48)) * Jp * itemsize if mc is not None else 0
+    )
+    if kt is None:
+        # scratch: (n+1) double-buffered (kt+4)-row slabs/windows + 2*kt
+        # out rows; ~4*(kt+2) rows of Mosaic pair-update temporaries
+        # (the choose_kt model, sweeps.py) on top.  Two passes: the
+        # standard 64 MB budget, then a raised one (the 2x builder's
+        # large-grid reasoning) — measured v5e 256^3 n=4 at the raised
+        # kt=16: 145 Gcells/s, vs 133 for the kt=8 the standard budget
+        # would force on n=3
+        row = IPP * Jp * itemsize
+        kt = None
+        for budget, limit in ((64 << 20, vmem_limit_bytes),
+                              (96 << 20, 120 << 20)):
+            for cand in range(max(8, 2 * n + 2), min(K, 32) + 1):
+                if K % cand:
+                    continue
+                rows = 2 * (n + 1) * (cand + 4) + 2 * cand + 4 * (cand + 2)
+                if rows * row <= budget - table_bytes:
+                    kt = cand
+            if kt is not None:
+                vmem_limit_bytes = max(vmem_limit_bytes, limit)
+                break
+    if kt is None or K % kt or kt < max(8, 2 * n + 2):
+        return None
+
+    if mc is not None:
+        import numpy as np
+
+        ti, _ = _maf_tables(mc, shape, dtype)
+        npdt = np.dtype(dtype)
+        half = npdt.type(0.5)
+        c3 = np.asarray(mc.c3, npdt).reshape(-1)[:K]
+        c9 = np.asarray(mc.c9, npdt).reshape(-1)[:K]
+        tk = np.ones((K + kt + 16, 4, Jp), npdt)
+        tk[8 : 8 + K, 0, :] = (c3 - half * c9)[:, None]
+        tk[8 : 8 + K, 1, :] = (c3 + half * c9)[:, None]
+        tk[8 : 8 + K, 2, :] = c3[:, None]
+        tables = (ti, jnp.asarray(tk))
+        pair_fn = functools.partial(
+            _rb_pair_packed_maf, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
+            offset=int(offset), omega=float(omega), dtype=dtype,
+        )
+        flops = n * 33 * K * I * J
+    else:
+        tables = ()
+        pair_fn = functools.partial(
+            _rb_pair_packed, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
+            offset=int(offset), omega=float(omega), dtype=dtype,
+        )
+        flops = n * 18 * K * I * J
+    call = sweeps2x.build_nx(
+        pair_fn, K, IPP, Jp, kt, dtype, n,
+        flops=flops,
+        vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
+        tables=tables,
+    )
+
+    def nx_step(xp, bp):
+        del bp  # zero-RHS configuration
+        out, r2 = call(xp)
+        acc = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        r2 = r2.astype(acc)
+        return out, jnp.stack(
+            [jnp.sum(r2[:, 2 * i] + r2[:, 2 * i + 1]) for i in range(n)]
+        )
+
+    nx_step.kt = kt
+    nx_step.iters_per_call = n
+    nx_step.pad = functools.partial(pack_rb, offset=offset)
+    nx_step.unpad = functools.partial(unpack_rb, shape=shape, offset=offset)
+    return nx_step
+
+
 def _maf_tables(mc, shape, dtype):
     """Host-side packed MAF tables: (8, I2p, Jp) resident ti and
     (K+4, 4, Jp) streamed per-k rows (see _pair_update_maf).  All weight

@@ -284,6 +284,223 @@ def _sweep2x_kernel(
             out_dma0(nslot).wait()
 
 
+def _sweepnx_kernel(
+    xp_ref, *args,
+    K, IP, Jp, kt, n, pair_fn, n_tabs,
+):
+    """Generic n-iterations-per-pass pipeline (zero-RHS configurations).
+
+    Generalizes :func:`_sweep2x_kernel`'s two windows to a chain of ``n``:
+    buffer ``w`` (w = 0 the streamed x0 slab, w = 1..n-1 VMEM-resident
+    iteration windows) holds rows s <-> true K rows ``t*kt - 2w - 4 + s``,
+    each carried 4 rows deep between tiles; window ``w``'s red-black pair
+    runs at ``k0_mid = t*kt - 2w - 1`` and its center output feeds buffer
+    ``w`` (or, for w = n, the output pipeline at row lag ``2(n-1)``).  Per
+    PASS of the cube: one read + one write of x for ``n`` full iterations.
+    The RHS-streaming configuration (the BiCGSTAB preconditioner) stays on
+    the 2x pipeline: its fixed 8-sweep count is not divisible by 3, and
+    the b-slab row map would need the same generalization for no headline
+    benefit (the reference problem's inner RHS is zero, cz_Evaluate.cpp).
+
+    Validity at the edges follows the 2x argument verbatim: every row a
+    window *keeps* is masked on true bounds inside pair_fn, boundary rows
+    (k = 0, K-1) pass through every window unchanged (their updates are
+    masked, so they stay the streamed Dirichlet values), and garbage rows
+    (true k < 0 or > K-1, carried-from-uninitialized at t = 0) are only
+    ever read by updates of masked rows, so they never propagate.  Row
+    coverage: window n updates all inner rows iff kt > 2n - 2, and the
+    drain tile's clipped write takes 2(n-1)+4 rows from the kt-row out
+    buffer — so the builders enforce kt >= max(8, 2n + 2).
+    """
+    tab_refs = args[:n_tabs]
+    rest = args[n_tabs:]
+    out_ref, r2_ref, xs = rest[0], rest[1], rest[2]
+    bufs = rest[3 : 3 + (n - 1)]
+    outs, in_sems, out_sems = rest[3 + (n - 1) :]
+    t = pl.program_id(0)
+    T = K // kt
+    two = jnp.asarray(2, t.dtype)
+    slot = jax.lax.rem(t, two)
+    nslot = jax.lax.rem(t + 1, two)
+    dtype = xs.dtype
+    lag = 2 * (n - 1)
+
+    # ---- x0 input pipeline (identical to _sweep2x_kernel) -------------------
+    def in0_dma(s):  # tile 0: padded rows [0, kt+2) -> slab rows [2, kt+4)
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(0, kt + 2)], xs.at[s, pl.ds(2, kt + 2)],
+            in_sems.at[s],
+        )
+
+    def in_dma(s, idx):  # tiles 1..T-1: padded rows [idx*kt+2, +kt)
+        return pltpu.make_async_copy(
+            xp_ref.at[pl.ds(idx * kt + 2, kt)], xs.at[s, pl.ds(4, kt)],
+            in_sems.at[s],
+        )
+
+    # output buffer rows [0, kt) hold padded rows [t*kt - lag, +kt)
+    def out_dma0(s):  # tile 0: clip to padded rows [0, kt-lag)
+        return pltpu.make_async_copy(
+            outs.at[s, pl.ds(lag, kt - lag)], out_ref.at[pl.ds(0, kt - lag)],
+            out_sems.at[s],
+        )
+
+    def out_dma(s, idx):  # tiles 1..T-1: padded rows [idx*kt-lag, +kt)
+        return pltpu.make_async_copy(
+            outs.at[s], out_ref.at[pl.ds(idx * kt - lag, kt)], out_sems.at[s]
+        )
+
+    def out_dmaT(s):  # drain tile: padded rows [K-lag, K+4)
+        return pltpu.make_async_copy(
+            outs.at[s, pl.ds(0, lag + 4)], out_ref.at[pl.ds(K - lag, lag + 4)],
+            out_sems.at[s],
+        )
+
+    @pl.when(t == 0)
+    def _():
+        in0_dma(0).start()
+        in0_dma(0).wait()
+        xs[0, 0:2] = jnp.zeros((2, IP, Jp), dtype)
+
+    @pl.when((t > 0) & (t < T))
+    def _():
+        in_dma(slot, t).wait()
+
+    @pl.when((t > 0) & (slot == 0))
+    def _():
+        xs[0, 0:4] = xs[1, kt : kt + 4]
+
+    @pl.when((t > 0) & (slot == 1))
+    def _():
+        xs[1, 0:4] = xs[0, kt : kt + 4]
+
+    @pl.when((t + 1 < T) & (t > 0))
+    def _():
+        in_dma(nslot, t + 1).start()
+
+    if T > 1:
+        @pl.when(t == 0)
+        def _():
+            in_dma(nslot, 1).start()
+
+    # ---- window chain --------------------------------------------------------
+    prev = xs
+    for w in range(1, n + 1):
+        if w < n:
+            bw = bufs[w - 1]
+
+            # carry the 4-row head from the other slot's tail (same true
+            # rows); at t=0 the copy reads uninitialized VMEM — harmless,
+            # those rows sit below the cube and only feed masked updates
+            @pl.when(slot == 0)
+            def _(bw=bw):
+                bw[0, 0:4] = bw[1, kt : kt + 4]
+
+            @pl.when((slot == 1) & (t > 0))
+            def _(bw=bw):
+                bw[1, 0:4] = bw[0, kt : kt + 4]
+
+        if w == n:
+            # drain the out slot last used two tiles ago before overwriting
+            @pl.when(t == 2)
+            def _():
+                out_dma0(slot).wait()
+
+            @pl.when(t > 2)
+            def _():
+                out_dma(slot, t - 2).wait()
+
+        x_mid, r2a, r2b = pair_fn(prev[slot], t * kt - 2 * w - 1, None,
+                                  *tab_refs)
+        if w < n:
+            bw[slot, 4 : kt + 4] = x_mid
+            prev = bw
+        else:
+            outs[slot] = x_mid
+        r2_ref[t, 2 * (w - 1)] = r2a
+        r2_ref[t, 2 * w - 1] = r2b
+
+    # ---- output pipeline -----------------------------------------------------
+    @pl.when(t == 0)
+    def _():
+        out_dma0(0).start()
+
+    @pl.when((t > 0) & (t < T))
+    def _():
+        out_dma(slot, t).start()
+
+    @pl.when(t == T)
+    def _():
+        out_dmaT(slot).start()
+        out_dmaT(slot).wait()
+
+    if T >= 2:
+        @pl.when(t == T)
+        def _():
+            out_dma(nslot, T - 1).wait()
+    else:
+        @pl.when(t == T)
+        def _():
+            out_dma0(nslot).wait()
+
+
+def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
+             interpret, tables=()):
+    """pallas_call for the n-iterations-per-pass pipeline over
+    (K+4, IP, Jp) zero-RHS state (see _sweepnx_kernel).  Returns a callable
+    ``xp -> (xp_new, r2)`` with r2 of shape (T+1, 2n) — per-tile partial
+    sums of the n iterations' two colors."""
+    itemsize = jnp.dtype(dtype).itemsize
+    T = K // kt
+    if kt < max(8, 2 * n + 2) or K % kt:
+        raise ValueError(f"kt={kt} unusable for n={n} (need kt >= "
+                         f"{max(8, 2 * n + 2)} and kt | K)")
+    kern = functools.partial(
+        _sweepnx_kernel, K=K, IP=IP, Jp=Jp, kt=kt, n=n, pair_fn=pair_fn,
+        n_tabs=len(tables),
+    )
+    scratch = [pltpu.VMEM((2, kt + 4, IP, Jp), dtype)]  # x0 slabs
+    scratch += [
+        pltpu.VMEM((2, kt + 4, IP, Jp), dtype) for _ in range(n - 1)
+    ]  # iteration windows (+4-row carry)
+    scratch += [
+        pltpu.VMEM((2, kt, IP, Jp), dtype),  # outputs
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    inner = pl.pallas_call(
+        kern,
+        grid=(T + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((K + 4, IP, Jp), dtype),
+            jax.ShapeDtypeStruct((T + 1, 2 * n), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=2 * K * IP * Jp * itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_bytes,
+        ),
+        # In-place update (see sweeps.py): the final-window write for tile
+        # t covers padded rows [t*kt - 2(n-1), +kt) — at least a 2-row lag
+        # behind the input pipeline's furthest outstanding read.
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )
+    if not tables:
+        return inner
+    return lambda xp: inner(xp, *tables)
+
+
 def build_2x(pair_fn, K, IP, Jp, kt, dtype, *, flops, vmem_limit_bytes,
              interpret, tables=(), has_b=False):
     """pallas_call for the two-iterations-per-pass pipeline over

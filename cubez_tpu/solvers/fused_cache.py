@@ -78,7 +78,23 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
         from ..pallas_kernels import rbpack
 
         step = None
-        if allow_pair:
+        if allow_pair and b_is_zero:
+            # deepest temporal block first: n iterations per HBM pass
+            # (zero-RHS only; sweeps2x._sweepnx_kernel).  Measured v5e
+            # 128^3: n=4 145 Gcells/s vs the pair's 122 — the sweep is
+            # VPU-bound, so returns diminish fast beyond n=4 (n=6: 147).
+            # MAF caps at n=3 (resident-table guard band) and gains ~3%.
+            # The builders return None where the windows don't fit VMEM
+            # (512^3 needs kt=8 and stays on the pair: measured neutral
+            # at best under a near-limit VMEM budget).
+            for nx in (4, 3):
+                step = rbpack.make_packed_sweepnx(
+                    grid.shape_kij, grid.dtype, omega=omega, n=nx, mc=mc,
+                    interpret=interpret,
+                )
+                if step is not None:
+                    break
+        if step is None and allow_pair:
             step = rbpack.make_packed_sweep2x(
                 grid.shape_kij, grid.dtype, omega=omega, mc=mc,
                 b_is_zero=b_is_zero, interpret=interpret,
