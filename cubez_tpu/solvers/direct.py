@@ -31,17 +31,20 @@ eps = 1e-5 with unchanged history/eps semantics.  The stopping metric is
 the omega=1 Jacobi-equivalent update, directly comparable to mg's
 (solvers/multigrid.py docstring).
 
-Sharded cost (measured, SCALING.md "Distributed fd"): under auto-SPMD
-GSPMD executes the three contractions by ALL-GATHERING — compiled-HLO
-inventory on the 8-device mesh shows 3 all-gathers + 6 all-reduces
-totalling ~1.75x the global field received per device per solve (14.7 +
-14.0 MB at 128^3 vs the 8.4 MB field).  Cheap in absolute terms for a
-one-shot direct solve at bench scale, but the per-device traffic grows
-with the GLOBAL N^3: the weak-scaling-safe formulation is 3 shard-LOCAL
-contractions + 2 all-to-all transposes (N^3/P per device per transpose,
-the standard distributed-FFT pattern) — deferred until multi-chip
-hardware exists to measure it on, and the sharded entry point stays
-correct either way (GSPMD falls back to gathering).
+Sharded apply: on a multi-device problem the step uses the explicit
+shard-local-contraction + all-to-all transpose pipeline
+(:func:`make_dist_minv`, the standard distributed-FFT pattern): every
+contraction runs on an axis that is locally FULL, and the layout moves
+between contractions via ``lax.all_to_all`` within one mesh axis group
+at a time (8 transposes per solve, each moving the local block once —
+O(N^3/P) per device, ICI-friendly), instead of GSPMD's all-gathers.
+Measured before this pipeline existed (SCALING.md "Distributed fd"):
+auto-SPMD all-gathered ~1.75x the GLOBAL field per device per solve
+(14.7 + 14.0 MB at 128^3 vs the 8.4 MB field) — traffic that grows with
+the global N^3 per device and is therefore not weak-scaling-safe.  The
+pipeline requires the block extents to stay divisible through the
+transposes (power-of-two cubes on power-of-two meshes); otherwise the
+step falls back to auto-SPMD, which stays correct either way.
 """
 
 from __future__ import annotations
@@ -96,6 +99,111 @@ def _axis_tables(grid: Grid, mc):
         w(mc.c1, mc.c7, ni, "I"),
         w(mc.c2, mc.c8, nj, "J"),
     ]
+
+
+def _pad_eig(V, Vi, mu, n_full):
+    """Identity-pad the inner (n x n) eigen system to the full node count.
+
+    Boundary rows/modes become identity columns with unit eigenvalue, so a
+    residual that is ZERO on boundary nodes (which ours is, by the inner
+    mask) passes through the padded transform exactly as the inner
+    transform zero-extended: inner rows of the padded matrices carry 0.0
+    in the pad columns (adding exact zeros), boundary rows reproduce the
+    (zero) input.  This lets the distributed pipeline work on FULL
+    (nk, ni, nj) fields, which shard evenly where the (n-2)^3 inner cube
+    does not."""
+    Vp = np.eye(n_full)
+    Vp[1:-1, 1:-1] = V
+    Vip = np.eye(n_full)
+    Vip[1:-1, 1:-1] = Vi
+    mup = np.ones(n_full)
+    mup[1:-1] = mu
+    return Vp, Vip, mup
+
+
+def make_dist_minv(grid: Grid, mc, sharding):
+    """Explicit distributed M^-1 on full (nk, ni, nj) fields sharded
+    (z, x, y) over a 3D mesh: shard-local contractions + all-to-all
+    transposes (see module docstring).  Input must be zero on boundary
+    nodes (identity-padded eigen tables, :func:`_pad_eig`).  Returns None
+    when the sharding is not the CubeMesh convention or a block extent
+    does not divide through the transposes — callers fall back to
+    auto-SPMD.
+
+    Layout walk (local block shapes; K/I/J are nk/ni/nj):
+      L0 (K/z, I/x,    J/y)  --a2a z: split I, concat K-->
+      L1 (K,   I/xz,   J/y)  contract Vzi over K; reverse a2a; then
+      L2 (K/zx, I,     J/y)  (a2a x: split K, concat I) contract Vxi;
+      L3 (K/zx, I/y,   J)    (a2a y: split I, concat J) contract Vyi,
+                              eigen-divide (per-shard mu slices by
+                              axis_index), contract Vy;
+      then the mirror transposes/contractions back to L0.
+    """
+    from jax.sharding import NamedSharding
+
+    if not isinstance(sharding, NamedSharding):
+        return None
+    spec = tuple(sharding.spec)
+    if spec != ("z", "x", "y"):
+        return None
+    mesh = sharding.mesh
+    mz, mx, my = mesh.shape["z"], mesh.shape["x"], mesh.shape["y"]
+    nk, ni, nj = grid.nk, grid.ni, grid.nj
+    # block divisibility through every transpose
+    if nk % mz or ni % mx or nj % my:
+        return None
+    if (ni // mx) % mz or (nk // mz) % mx or ni % my:
+        return None
+
+    dt = grid.dtype
+    hp = jax.lax.Precision.HIGHEST
+    tabs = []
+    for (V, Vi, mu), n in zip(_axis_tables(grid, mc), (nk, ni, nj)):
+        Vp, Vip, mup = _pad_eig(V, Vi, mu, n)
+        tabs.append((jnp.asarray(Vp, dt), jnp.asarray(Vip, dt),
+                     jnp.asarray(mup, dt)))
+    (Vz, Vzi, muz), (Vx, Vxi, mux), (Vy, Vyi, muy) = tabs
+
+    sizes = {"z": mz, "x": mx, "y": my}
+
+    def a2a(v, name, split, concat):
+        if sizes[name] == 1:
+            return v  # size-1 group: the transpose is the identity
+        return jax.lax.all_to_all(
+            v, name, split_axis=split, concat_axis=concat, tiled=True
+        )
+
+    kloc = nk // (mz * mx)
+    iloc = ni // my
+
+    def local(r):
+        u = a2a(r, "z", 1, 0)                       # L1
+        u = jnp.einsum("ak,kij->aij", Vzi, u, precision=hp)
+        u = a2a(u, "z", 0, 1)                       # back to L0 blocks
+        u = a2a(u, "x", 0, 1)                       # L2
+        u = jnp.einsum("ci,kij->kcj", Vxi, u, precision=hp)
+        u = a2a(u, "y", 1, 2)                       # L3
+        u = jnp.einsum("dj,kij->kid", Vyi, u, precision=hp)
+        iz = jax.lax.axis_index("z")
+        ix = jax.lax.axis_index("x")
+        iy = jax.lax.axis_index("y")
+        koff = iz * (nk // mz) + ix * kloc
+        dz = jax.lax.dynamic_slice_in_dim(muz, koff, kloc)
+        dx = jax.lax.dynamic_slice_in_dim(mux, iy * iloc, iloc)
+        u = u / (dz[:, None, None] + dx[None, :, None] + muy[None, None, :])
+        u = jnp.einsum("jd,kid->kij", Vy, u, precision=hp)
+        u = a2a(u, "y", 2, 1)                       # L2
+        u = jnp.einsum("ic,kcj->kij", Vx, u, precision=hp)
+        u = a2a(u, "x", 1, 0)                       # L0 blocks
+        u = a2a(u, "z", 1, 0)                       # L1
+        u = jnp.einsum("ka,aij->kij", Vz, u, precision=hp)
+        return a2a(u, "z", 0, 1)                    # L0
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fspec = P("z", "x", "y")
+    return shard_map(local, mesh=mesh, in_specs=fspec, out_specs=fspec)
 
 
 def make_fd_step(problem, maf: bool = False):
@@ -160,6 +268,25 @@ def make_fd_step(problem, maf: bool = False):
     # r = b - M_sign A x; error equation: const A e = r with A = -M, so
     # e = -M^-1 r; MAF M e = r directly
     sgn = jnp.asarray(1.0 if maf else -1.0, dt)
+
+    # multi-device problem: explicit transpose-pipeline inverse on the
+    # FULL field (r is zero on boundary nodes, the _pad_eig contract);
+    # None -> auto-SPMD of the serial inner-grid formulation below
+    dist_minv = None
+    sh = getattr(problem.x0, "sharding", None)
+    if sh is not None and getattr(sh, "num_devices", 1) > 1:
+        dist_minv = make_dist_minv(g, mc, sh)
+
+    if dist_minv is not None:
+        def step(x, b):
+            r = residual(x, b)
+            x = x + sgn * dist_minv(r)
+            rn = residual(x, b)
+            rn = rn / mc.dd if maf else rn * r6
+            return x, jnp.sum(rn * rn)
+
+        step.check_every_default = 1
+        return step
 
     def step(x, b):
         r = residual(x, b)

@@ -302,25 +302,30 @@ Marginal per-iteration device time by long-minus-short scan differencing
 (2000-vs-250 sweeps inside single executables, distinct random starts +
 host-fetched digest per call, median-of-5).  Attributions: analytic
 streams (read x + write x; zero-RHS stream skipped; the temporally-blocked
-sor2sma pair streams HBM once per TWO iterations) and matmul flops 2*Kp
-(const) / 4*Kp (MAF) per point.  Ceilings assumed: HBM 819 GB/s; MXU f32
-via Precision.HIGHEST ~= 197/8 = 24.6 TFLOP/s (v5e).
+sor2sma kernels stream HBM once per n iterations — the production
+dispatch is the n=4 window chain) and matmul flops 2*Kp (const) / 4*Kp
+(MAF) per point.  Ceilings assumed: HBM 819 GB/s; MXU f32 via
+Precision.HIGHEST ~= 197/8 = 24.6 TFLOP/s (v5e).
 
 | kernel (128^3) | us/iter | Mcells/s | GB/s | %SoL HBM | TFLOP/s | %SoL MXU(f32) | binding |
 |---|---|---|---|---|---|---|---|
-| sor2sma (pair) | 14.6 | 137207 | 575 | 70% | 2.6 | 11% | HBM |
-| pcr_rb | 23.6 | 84940 | 712 | 87% | 23.3 | 95% | MXU |
-| pcr_j_esa | 23.6 | 84671 | 710 | 87% | 23.3 | 94% | MXU |
-| pcr_rb_maf | 43.5 | 45953 | 385 | 47% | 25.2 | 103% | MXU |
+| sor2sma (nx, n=4) | 10.9 | 183101 | 384 | 47% | 3.5 | 14% | VPU |
+| pcr_rb | 23.5 | 85069 | 713 | 87% | 23.4 | 95% | MXU |
+| pcr_j_esa | 22.8 | 87608 | 735 | 90% | 24.1 | 98% | MXU |
+| pcr_rb_maf | 42.9 | 46641 | 391 | 48% | 25.6 | 104% | MXU |
 
 Reading: **the pcr_rb-vs-sor2sma cells/s gap is inherent on this
 hardware.**  pcr_rb runs at ~95% of the f32 MXU ceiling *and* 87% of HBM
 simultaneously — there is no headroom on either resource, and the
-temporal-blocking trick that doubles sor2sma's cells/s only helps
-HBM-bound kernels (a 2-iteration line kernel would still serialize on the
-same MXU work).  pcr_rb_maf saturates the MXU outright (the ~3% over
-100% is the model ignoring its +6% packed-row padding), confirming the
-documented 2x matmul-count bound below.
+temporal-blocking trick that lifted sor2sma past the 1-iteration HBM
+speed-of-light only helps kernels whose per-iteration compute fits under
+the stream (an n-iteration line kernel would still serialize on the same
+MXU work).  sor2sma at n=4 is VPU-bound — neither modeled ceiling is
+near saturation, and deeper blocking measured flat (n=6 within noise) —
+so ~11 us/iter is the point-sweep floor on this chip.  pcr_rb_maf
+saturates the MXU outright (the ~3% over 100% is the model ignoring its
++6% packed-row padding), confirming the documented 2x matmul-count bound
+below.
 
 ## MAF line-solver cost ratio
 

@@ -96,7 +96,14 @@ def measure(name: str, n: int = 128):
     tflops = flops / t / 1e12
     sol_hbm = 100.0 * gbps / HBM_GBPS
     sol_mxu = 100.0 * tflops / MXU_F32_TFLOPS
-    binding = "HBM" if sol_hbm >= sol_mxu else "MXU"
+    # when neither modeled ceiling is near saturation the kernel is bound
+    # by the resource this model can't attribute analytically: the VPU
+    # (elementwise/select/roll work) — true of the temporally-blocked
+    # point sweeps at n >= 4
+    if max(sol_hbm, sol_mxu) < 60.0:
+        binding = "VPU"
+    else:
+        binding = "HBM" if sol_hbm >= sol_mxu else "MXU"
     return {
         "name": name, "us_per_iter": t * 1e6,
         "mcells": prob.grid.num_inner / t / 1e6,

@@ -95,8 +95,8 @@ def test_bicgstab_fd_precond():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_fd_dist_matches_serial():
-    """fd distributes through the auto-SPMD fallback (the einsum
-    contractions shard under GSPMD)."""
+    """Distributed fd (explicit all-to-all transpose pipeline where the
+    block extents divide, auto-SPMD otherwise) equals the serial solve."""
     from cubez_tpu.parallel import make_mesh, solve_dist
 
     prob = Problem.poisson_cube(24)
@@ -105,6 +105,48 @@ def test_fd_dist_matches_serial():
     rs = solve(prob, "fd", omega=1.0, itr_max=5)
     assert rd.iters == rs.iters == 1
     assert np.abs(np.asarray(rd.x) - np.asarray(rs.x)).max() < 1e-5
+
+
+@pytest.mark.parametrize("maf", [False, True])
+def test_fd_dist_pipeline_no_allgather(maf):
+    """The sharded fd step lowers to the shard-local-contraction +
+    all-to-all transpose pipeline (solvers/direct.py::make_dist_minv):
+    ZERO all-gathers (GSPMD's fallback would insert 3, each moving the
+    global field — SCALING.md 'Distributed fd'), 8 all-to-alls (each
+    moving only the local block within one mesh axis group), and the
+    field result is bitwise-equal to the serial step's."""
+    import re
+
+    from cubez_tpu.parallel import make_mesh
+    from cubez_tpu.solvers.direct import make_dist_minv, make_fd_step
+
+    prob = Problem.poisson_cube(32, maf=maf)
+    cm = make_mesh(prob.grid.shape_kij)
+    prob_sh = dataclasses.replace(
+        prob, x0=cm.shard(prob.x0), rhs=cm.shard(prob.rhs),
+        msk=cm.shard(prob.msk),
+    )
+    assert make_dist_minv(prob.grid, prob.mc if maf else None,
+                          cm.field_sharding) is not None
+    step_d = make_fd_step(prob_sh, maf=maf)
+    step_s = make_fd_step(prob, maf=maf)
+    txt = jax.jit(step_d).lower(prob_sh.x0, prob_sh.rhs).compile().as_text()
+    assert len(re.findall(r"all-gather", txt)) == 0
+    assert len(re.findall(r"all-to-all(?:-start)?\(", txt)) == 8
+    xd, _ = jax.jit(step_d)(prob_sh.x0, prob_sh.rhs)
+    xs, _ = jax.jit(step_s)(prob.x0, prob.rhs)
+    np.testing.assert_array_equal(np.asarray(xd), np.asarray(xs))
+
+
+def test_fd_dist_fallback_odd_extent():
+    """Non-divisible block extents return None (auto-SPMD stays the
+    correct fallback path)."""
+    from cubez_tpu.parallel import make_mesh
+    from cubez_tpu.solvers.direct import make_dist_minv
+
+    cm = make_mesh((32, 32, 32))
+    g17 = Problem.poisson_cube(17).grid
+    assert make_dist_minv(g17, None, cm.field_sharding) is None
 
 
 def test_cg_fd_precond():
