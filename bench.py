@@ -191,10 +191,15 @@ def main():
             for k in jax.random.split(key, REPS + 1)
         ]
         jax.block_until_ready(starts)
+        # fixed_sweeps rounds the count UP to whole multi-iteration calls
+        # (iters_per_call) — divide by the sweeps actually executed
+        ipc = getattr(step, "iters_per_call", 1)
+        n_long = -(-ITERS_LONG // ipc) * ipc
+        n_short = -(-ITERS_SHORT // ipc) * ipc
         per = (
             timed(step, starts, b0, ITERS_LONG)
             - timed(step, starts, b0, ITERS_SHORT)
-        ) / (ITERS_LONG - ITERS_SHORT)
+        ) / (n_long - n_short)
         if per <= 0:
             continue  # jitter swamped the difference — not a usable timing
         if best is None or per < best[0]:
@@ -209,7 +214,9 @@ def main():
             for k in jax.random.split(key, REPS + 1)
         ]
         jax.block_until_ready(starts)
-        best = (timed(step, starts, b0, ITERS_LONG) / ITERS_LONG, name + "-abs")
+        ipc = getattr(step, "iters_per_call", 1)
+        n_long = -(-ITERS_LONG // ipc) * ipc
+        best = (timed(step, starts, b0, ITERS_LONG) / n_long, name + "-abs")
 
     per_iter, kernel = best
     cups = prob.grid.num_inner / per_iter

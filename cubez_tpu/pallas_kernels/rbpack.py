@@ -105,14 +105,16 @@ def _parity_masks(rows, k_start, offset, K, I2, J, I2p, Jp, color):
     sel_m1: (rows, 1, Jp) bool — True where the I-neighbor pair needs the
     roll(-1) (downward) sublane shift, i.e. s == 1 for this color.
     s_red = (k+j+offset+1) % 2, s_black = (k+j+offset) % 2; constants keep
-    the lax.rem argument non-negative (k_start >= -9, offset >= 0).
+    the lax.rem argument non-negative (k_start >= -19, offset >= 0 — the
+    deepest window of the n-iterations-per-pass pipeline runs at
+    k0_mid = -2n-1, so this covers n <= 9; the builders enforce it).
     """
     two = jnp.asarray(2, jnp.int32)
     k1 = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + jnp.asarray(
         k_start, jnp.int32
     )
     j1 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, Jp), 2)
-    add = (offset + 11) if color == 0 else (offset + 10)
+    add = (offset + 21) if color == 0 else (offset + 20)
     s = jax.lax.rem(k1 + j1 + add, two)  # (rows, 1, Jp)
     sel_m1 = s == 1
     i2 = jax.lax.broadcasted_iota(jnp.int32, (1, I2p, 1), 1)
@@ -459,34 +461,10 @@ def make_packed_sweep2x(
     if kt is None or K % kt or kt < 8:
         return None
 
-    if mc is not None:
-        import numpy as np
-
-        ti, _ = _maf_tables(mc, shape, dtype)
-        npdt = np.dtype(dtype)
-        half = npdt.type(0.5)
-        c3 = np.asarray(mc.c3, npdt).reshape(-1)[:K]
-        c9 = np.asarray(mc.c9, npdt).reshape(-1)[:K]
-        tk = np.ones((K + kt + 16, 4, Jp), npdt)
-        tk[8 : 8 + K, 0, :] = (c3 - half * c9)[:, None]
-        tk[8 : 8 + K, 1, :] = (c3 + half * c9)[:, None]
-        tk[8 : 8 + K, 2, :] = c3[:, None]
-        tables = (ti, jnp.asarray(tk))
-        pair_fn = functools.partial(
-            _rb_pair_packed_maf, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
-            offset=int(offset), omega=float(omega), dtype=dtype,
-        )
-        flops = 2 * 33 * K * I * J
-    else:
-        tables = ()
-        pair_fn = functools.partial(
-            _rb_pair_packed, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
-            offset=int(offset), omega=float(omega), dtype=dtype,
-        )
-        flops = 2 * 18 * K * I * J
+    tables, pair_fn, flops1 = _pair_setup(shape, dtype, omega, offset, kt, mc)
     call = sweeps2x.build_2x(
         pair_fn, K, IPP, Jp, kt, dtype,
-        flops=flops,
+        flops=2 * flops1,
         vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
         tables=tables, has_b=has_b,
     )
@@ -504,6 +482,37 @@ def make_packed_sweep2x(
     pair_step.pad = functools.partial(pack_rb, offset=offset)
     pair_step.unpad = functools.partial(unpack_rb, shape=shape, offset=offset)
     return pair_step
+
+
+def _pair_setup(shape, dtype, omega, offset, kt, mc):
+    """(tables, pair_fn, flops_per_iteration) shared by the 2x and nx
+    temporally-blocked builders: the dense one-RB-iteration closure over
+    a slab, the resident MAF metric tables — the per-k tk table carries
+    an 8-row guard band so window k0_mid >= -8 stays in range
+    (_rb_pair_packed_maf; caps MAF blocking at n <= 3) — and the
+    per-iteration flop model (cz_solver.f90:438 / cz_maf.f90:334)."""
+    import numpy as np
+
+    K, I, J = shape
+    _, _, _, I2, I2p, Jp = _dims(shape)
+    kw = dict(K=K, I2=I2, J=J, I2p=I2p, Jp=Jp, offset=int(offset),
+              omega=float(omega), dtype=dtype)
+    if mc is None:
+        return (), functools.partial(_rb_pair_packed, **kw), 18 * K * I * J
+    ti, _ = _maf_tables(mc, shape, dtype)
+    npdt = np.dtype(dtype)
+    half = npdt.type(0.5)
+    c3 = np.asarray(mc.c3, npdt).reshape(-1)[:K]
+    c9 = np.asarray(mc.c9, npdt).reshape(-1)[:K]
+    tk = np.ones((K + kt + 16, 4, Jp), npdt)
+    tk[8 : 8 + K, 0, :] = (c3 - half * c9)[:, None]
+    tk[8 : 8 + K, 1, :] = (c3 + half * c9)[:, None]
+    tk[8 : 8 + K, 2, :] = c3[:, None]
+    return (
+        (ti, jnp.asarray(tk)),
+        functools.partial(_rb_pair_packed_maf, **kw),
+        33 * K * I * J,
+    )
 
 
 def make_packed_sweepnx(
@@ -535,7 +544,9 @@ def make_packed_sweepnx(
     from . import sweeps2x
 
     K, I, J = shape
-    if I % 2 or n < 2 or (mc is not None and n > 3):
+    # n <= 9: the parity-mask constants cover k_start >= -19
+    # (_parity_masks); MAF additionally n <= 3 (tk guard band, _pair_setup)
+    if I % 2 or n < 2 or n > 9 or (mc is not None and n > 3):
         return None
     _, _, _, I2, I2p, Jp = _dims(shape)
     IPP = 2 * I2p
@@ -567,34 +578,10 @@ def make_packed_sweepnx(
     if kt is None or K % kt or kt < max(8, 2 * n + 2):
         return None
 
-    if mc is not None:
-        import numpy as np
-
-        ti, _ = _maf_tables(mc, shape, dtype)
-        npdt = np.dtype(dtype)
-        half = npdt.type(0.5)
-        c3 = np.asarray(mc.c3, npdt).reshape(-1)[:K]
-        c9 = np.asarray(mc.c9, npdt).reshape(-1)[:K]
-        tk = np.ones((K + kt + 16, 4, Jp), npdt)
-        tk[8 : 8 + K, 0, :] = (c3 - half * c9)[:, None]
-        tk[8 : 8 + K, 1, :] = (c3 + half * c9)[:, None]
-        tk[8 : 8 + K, 2, :] = c3[:, None]
-        tables = (ti, jnp.asarray(tk))
-        pair_fn = functools.partial(
-            _rb_pair_packed_maf, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
-            offset=int(offset), omega=float(omega), dtype=dtype,
-        )
-        flops = n * 33 * K * I * J
-    else:
-        tables = ()
-        pair_fn = functools.partial(
-            _rb_pair_packed, K=K, I2=I2, J=J, I2p=I2p, Jp=Jp,
-            offset=int(offset), omega=float(omega), dtype=dtype,
-        )
-        flops = n * 18 * K * I * J
+    tables, pair_fn, flops1 = _pair_setup(shape, dtype, omega, offset, kt, mc)
     call = sweeps2x.build_nx(
         pair_fn, K, IPP, Jp, kt, dtype, n,
-        flops=flops,
+        flops=n * flops1,
         vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
         tables=tables,
     )

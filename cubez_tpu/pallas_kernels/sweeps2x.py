@@ -35,7 +35,8 @@ from .sweeps import _masked_delta, _round_up, choose_kt
 
 
 def _masks(rows, Ip, Jp, K, I, J, k_start, offset):
-    """Like sweeps._iota_masks but safe for k_start down to -9."""
+    """Like sweeps._iota_masks but safe for k_start down to -19 (deepest
+    n-iterations-per-pass window, n <= 9)."""
     k1 = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + jnp.asarray(
         k_start, jnp.int32
     )
@@ -45,7 +46,7 @@ def _masks(rows, Ip, Jp, K, I, J, k_start, offset):
     inner_ij = (ij_i >= 1) & (ij_i <= I - 2) & (ij_j >= 1) & (ij_j <= J - 2)
     inner = inner_k & inner_ij
     two = jnp.asarray(2, jnp.int32)
-    kpar = jax.lax.rem(k1 + (offset + 11), two)  # +11 keeps the arg >= 0
+    kpar = jax.lax.rem(k1 + (offset + 21), two)  # +21 keeps the arg >= 0
     ijpar = jax.lax.rem(ij_i + ij_j, two)
     par = jax.lax.rem(kpar + ijpar, two)
     return inner, par == 0, par == 1

@@ -86,8 +86,12 @@ def profile_solve(problem, solver: str, omega: float, iters: int = 50,
             x, b = problem.x0, problem.rhs
         run = jax.jit(lambda x, b: fixed_sweeps(step, x, b, iters))
         t_sweeps = _timed(run, x, b)
+        # fixed_sweeps rounds UP to whole multi-iteration calls
+        # (iters_per_call) — attribute to the sweeps actually executed
+        ipc = getattr(step, "iters_per_call", 1)
+        n_exec = -(-iters // ipc) * ipc
         pm.add(f"{solver}_sweep", t_sweeps, kind=CALC,
-               flops=flops1 * iters, bytes=bytes1 * iters, calls=iters)
+               flops=flops1 * n_exec, bytes=bytes1 * n_exec, calls=n_exec)
 
         from ..solvers.driver import run_iterative
 

@@ -216,33 +216,6 @@ def make_fd_step(problem, maf: bool = False):
 
     dt = g.dtype
     hp = jax.lax.Precision.HIGHEST
-    (Vz, Vzi, muz), (Vx, Vxi, mux), (Vy, Vyi, muy) = _axis_tables(g, mc)
-    Vz, Vzi = jnp.asarray(Vz, dt), jnp.asarray(Vzi, dt)
-    Vx, Vxi = jnp.asarray(Vx, dt), jnp.asarray(Vxi, dt)
-    Vy, Vyi = jnp.asarray(Vy, dt), jnp.asarray(Vyi, dt)
-    # per-axis eigenvalues only — the (nk,ni,nj) denominator table is
-    # formed INSIDE the trace from these 1D vectors: a materialized 3D
-    # closure constant is N^3 * 4 bytes of wasted HBM and, through the
-    # remote-compile tunnel, blows the request-size limit at 512^3
-    # (HTTP 413)
-    muz_ = jnp.asarray(muz, dt)
-    mux_ = jnp.asarray(mux, dt)
-    muy_ = jnp.asarray(muy, dt)
-
-    def minv(r):
-        """M^-1 r on the inner grid via the three-axis eigenbasis:
-        forward-transform each axis into mode space (V^-1), divide by the
-        eigenvalue sums, back-transform (V)."""
-        u = jnp.einsum("ak,kij->aij", Vzi, r, precision=hp)
-        u = jnp.einsum("ci,aij->acj", Vxi, u, precision=hp)
-        u = jnp.einsum("dj,acj->acd", Vyi, u, precision=hp)
-        u = u / (
-            muz_[:, None, None] + mux_[None, :, None] + muy_[None, None, :]
-        )
-        u = jnp.einsum("jd,acd->acj", Vy, u, precision=hp)
-        u = jnp.einsum("ic,acj->aij", Vx, u, precision=hp)
-        return jnp.einsum("ka,aij->kij", Vz, u, precision=hp)
-
     inner = (slice(1, -1),) * 3
     r6 = jnp.asarray(1.0 / 6.0, dt)
 
@@ -271,7 +244,9 @@ def make_fd_step(problem, maf: bool = False):
 
     # multi-device problem: explicit transpose-pipeline inverse on the
     # FULL field (r is zero on boundary nodes, the _pad_eig contract);
-    # None -> auto-SPMD of the serial inner-grid formulation below
+    # None -> auto-SPMD of the serial inner-grid formulation below.
+    # Checked BEFORE building the serial tables so the sharded path runs
+    # the host eigendecompositions once, inside make_dist_minv
     dist_minv = None
     sh = getattr(problem.x0, "sharding", None)
     if sh is not None and getattr(sh, "num_devices", 1) > 1:
@@ -287,6 +262,33 @@ def make_fd_step(problem, maf: bool = False):
 
         step.check_every_default = 1
         return step
+
+    (Vz, Vzi, muz), (Vx, Vxi, mux), (Vy, Vyi, muy) = _axis_tables(g, mc)
+    Vz, Vzi = jnp.asarray(Vz, dt), jnp.asarray(Vzi, dt)
+    Vx, Vxi = jnp.asarray(Vx, dt), jnp.asarray(Vxi, dt)
+    Vy, Vyi = jnp.asarray(Vy, dt), jnp.asarray(Vyi, dt)
+    # per-axis eigenvalues only — the (nk,ni,nj) denominator table is
+    # formed INSIDE the trace from these 1D vectors: a materialized 3D
+    # closure constant is N^3 * 4 bytes of wasted HBM and, through the
+    # remote-compile tunnel, blows the request-size limit at 512^3
+    # (HTTP 413)
+    muz_ = jnp.asarray(muz, dt)
+    mux_ = jnp.asarray(mux, dt)
+    muy_ = jnp.asarray(muy, dt)
+
+    def minv(r):
+        """M^-1 r on the inner grid via the three-axis eigenbasis:
+        forward-transform each axis into mode space (V^-1), divide by the
+        eigenvalue sums, back-transform (V)."""
+        u = jnp.einsum("ak,kij->aij", Vzi, r, precision=hp)
+        u = jnp.einsum("ci,aij->acj", Vxi, u, precision=hp)
+        u = jnp.einsum("dj,acj->acd", Vyi, u, precision=hp)
+        u = u / (
+            muz_[:, None, None] + mux_[None, :, None] + muy_[None, None, :]
+        )
+        u = jnp.einsum("jd,acd->acj", Vy, u, precision=hp)
+        u = jnp.einsum("ic,acj->aij", Vx, u, precision=hp)
+        return jnp.einsum("ka,aij->kij", Vz, u, precision=hp)
 
     def step(x, b):
         r = residual(x, b)

@@ -37,7 +37,7 @@ def test_pair_matches_two_singles(n):
         np.testing.assert_allclose(float(rp[1]), float(r2), rtol=1e-5)
 
 
-@pytest.mark.parametrize("n_it,kt", [(3, 8), (3, 16), (4, 16)])
+@pytest.mark.parametrize("n_it,kt", [(3, 8), (3, 16), (4, 16), (6, 16)])
 def test_nx_matches_n_singles(n_it, kt):
     """Generalized n-iterations-per-pass packed kernel (sweeps2x.build_nx
     via rbpack.make_packed_sweepnx) against n single packed sweeps:
