@@ -564,8 +564,12 @@ def make_packed_sweepnx(
         # would force on n=3
         row = IPP * Jp * itemsize
         kt = None
-        for budget, limit in ((64 << 20, vmem_limit_bytes),
-                              (96 << 20, 120 << 20)):
+        # honor a caller limit below the standard budget when sizing;
+        # the raised second pass only applies under the default limit
+        budgets = [(min(64 << 20, vmem_limit_bytes), vmem_limit_bytes)]
+        if vmem_limit_bytes >= (64 << 20):
+            budgets.append((96 << 20, 120 << 20))
+        for budget, limit in budgets:
             for cand in range(max(8, 2 * n + 2), min(K, 32) + 1):
                 if K % cand:
                     continue
