@@ -80,14 +80,15 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
         step = None
         if allow_pair and b_is_zero:
             # deepest temporal block first: n iterations per HBM pass
-            # (zero-RHS only; sweeps2x._sweepnx_kernel).  Measured v5e
-            # 128^3: n=4 145 Gcells/s vs the pair's 122 — the sweep is
-            # VPU-bound, so returns diminish fast beyond n=4 (n=6: 147).
-            # MAF caps at n=3 (resident-table guard band) and gains ~3%.
-            # The builders return None where the windows don't fit VMEM
-            # (512^3 needs kt=8 and stays on the pair: measured neutral
-            # at best under a near-limit VMEM budget).
-            for nx in (4, 3):
+            # (zero-RHS only; sweeps2x._sweepnx_kernel).  Measured v5e:
+            # the sweep is VPU-bound beyond n~4 so returns flatten —
+            # 128^3 pair 122 / n=4 145 / n=6 147 Gcells/s, 256^3 n=4
+            # 141 / n=6 145 — but n=6 stays measurably ahead where its
+            # windows fit.  MAF caps at n=3 (resident-table guard band)
+            # and gains ~3%.  The builders return None where the windows
+            # don't fit VMEM (512^3 needs kt=8 and stays on the pair:
+            # measured neutral at best under a near-limit VMEM budget).
+            for nx in (6, 4, 3):
                 step = rbpack.make_packed_sweepnx(
                     grid.shape_kij, grid.dtype, omega=omega, n=nx, mc=mc,
                     interpret=interpret,
