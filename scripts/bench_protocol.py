@@ -303,7 +303,8 @@ Marginal per-iteration device time by long-minus-short scan differencing
 host-fetched digest per call, median-of-5).  Attributions: analytic
 streams (read x + write x; zero-RHS stream skipped; the temporally-blocked
 sor2sma kernels stream HBM once per n iterations — the production
-dispatch is the n=4 window chain) and matmul flops 2*Kp (const) / 4*Kp
+dispatch picks the deepest of n=6/4/3 that fits VMEM; this row was
+measured at n=4) and matmul flops 2*Kp (const) / 4*Kp
 (MAF) per point.  Ceilings assumed: HBM 819 GB/s; MXU f32 via
 Precision.HIGHEST ~= 197/8 = 24.6 TFLOP/s (v5e).
 

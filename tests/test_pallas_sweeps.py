@@ -76,9 +76,11 @@ def test_solve_api_impl_pallas():
     r_p = solve(prob, "sor2sma", omega=1.5, itr_max=300, impl="pallas")
     assert r_p.iters == r_j.iters
     assert abs(r_p.res - r_j.res) < 1e-6
-    # the pallas path may run to the end of its iteration chunk/pair
-    # (driver docs): x differs by up to ~one extra sweep at the eps level
-    assert float(jnp.max(jnp.abs(r_p.x - r_j.x))) < 5e-5
+    # the pallas path may run to the end of its iteration chunk (driver
+    # docs) — up to chunk-1 extra sweeps, and the chunk rounds up to a
+    # multiple of iters_per_call (6 for the deepest temporal block), so
+    # x differs by a handful of eps-level sweeps
+    assert float(jnp.max(jnp.abs(r_p.x - r_j.x))) < 3e-4
 
 
 def test_choose_kt():

@@ -303,7 +303,9 @@ def test_solve_uses_packed_maf_and_matches_jnp():
     r_pal = solve(prob, "sor2sma_maf", omega=1.5, itr_max=300, impl="pallas")
     assert r_pal.iters == r_jnp.iters
     assert abs(r_pal.res - r_jnp.res) < 1e-6 * max(1.0, r_jnp.res)
-    assert float(jnp.max(jnp.abs(r_pal.x - r_jnp.x))) < 5e-5
+    # chunk overshoot: up to chunk-1 extra eps-level sweeps, chunk
+    # rounded to a multiple of iters_per_call (see test_pallas_sweeps)
+    assert float(jnp.max(jnp.abs(r_pal.x - r_jnp.x))) < 3e-4
 
 
 def test_solve_uses_packed_and_matches_jnp():
@@ -312,4 +314,6 @@ def test_solve_uses_packed_and_matches_jnp():
     r_pal = solve(prob, "sor2sma", omega=1.5, itr_max=400, impl="pallas")
     assert r_pal.iters == r_jnp.iters
     assert abs(r_pal.res - r_jnp.res) < 1e-6 * max(1.0, r_jnp.res)
-    assert float(jnp.max(jnp.abs(r_pal.x - r_jnp.x))) < 5e-5
+    # chunk overshoot: up to chunk-1 extra eps-level sweeps, chunk
+    # rounded to a multiple of iters_per_call (see test_pallas_sweeps)
+    assert float(jnp.max(jnp.abs(r_pal.x - r_jnp.x))) < 3e-4
