@@ -114,17 +114,25 @@ def run_one(label, n, solver, omega, precond, itr_max, rate_iters=0,
     walls.sort()
     base.sort()
     dt = walls[1]
-    dt0, it0 = base[1]
+    it0 = base[0][1]
     err = max_error(prob.grid, r.x)
     cups = prob.grid.num_inner * r.iters / dt
     # net loop rate: fixed per-solve cost cancelled by differencing.
-    # Below ~10 net iterations the gap does not dwarf the ~ms tunnel
-    # jitter — mark those "n/a" instead of publishing noise (mg/fmg/fd
-    # device costs are measured by in-executable scan differencing in
-    # the EVIDENCE section instead).
+    # The lever for short solves (~25 ms of kernel time at 128^3) is
+    # only ~10x the tunnel's +-ms jitter, so the difference uses the
+    # MINIMUM of the reps on both sides — timing noise through the
+    # tunnel is additive-positive (contention, retries), so min is the
+    # best estimator of the deterministic quantity; the wall column
+    # stays the median (it reports typical end-to-end latency, not a
+    # capability).  Below ~10 net iterations even that gap cannot dwarf
+    # the jitter — mark those "n/a" instead of publishing noise
+    # (mg/fmg/fd device costs are measured by in-executable scan
+    # differencing in the EVIDENCE section instead).
     net = None
-    if r.iters - it0 >= 10 and dt > dt0:
-        net = prob.grid.num_inner * (r.iters - it0) / (dt - dt0)
+    if r.iters - it0 >= 10 and walls[0] > base[0][0]:
+        net = prob.grid.num_inner * (r.iters - it0) / (
+            walls[0] - base[0][0]
+        )
     return {
         "label": label,
         "iters": r.iters,
@@ -216,8 +224,10 @@ def main():
                 "is the on-device convergence-loop rate with the fixed "
                 "per-solve cost (dispatch + remote-tunnel round-trips, "
                 "~0.1 s/solve here) cancelled by differencing against a "
-                "one-chunk solve of the same executable — the number a local "
-                "(non-tunneled) host would see end-to-end; printed '-' "
+                "one-chunk solve of the same executable (minimum over 3 "
+                "repeats on both sides: tunnel noise is additive-positive) "
+                "— the number a local (non-tunneled) host would see "
+                "end-to-end; printed '-' "
                 "when the solve converges in <10 net iterations (the gap "
                 "would not dwarf tunnel jitter; mg/fmg/fd device costs are "
                 "scan-differenced in the evidence sections below instead)."
@@ -303,29 +313,30 @@ Marginal per-iteration device time by long-minus-short scan differencing
 host-fetched digest per call, median-of-5).  Attributions: analytic
 streams (read x + write x; zero-RHS stream skipped; the temporally-blocked
 sor2sma kernels stream HBM once per n iterations — the production
-dispatch picks the deepest of n=6/4/3 that fits VMEM; this row was
-measured at n=4) and matmul flops 2*Kp (const) / 4*Kp
+dispatch picks the deepest of n=6/4/3 that fits VMEM) and matmul
+flops 2*Kp (const) / 4*Kp
 (MAF) per point.  Ceilings assumed: HBM 819 GB/s; MXU f32 via
 Precision.HIGHEST ~= 197/8 = 24.6 TFLOP/s (v5e).
 
 | kernel (128^3) | us/iter | Mcells/s | GB/s | %SoL HBM | TFLOP/s | %SoL MXU(f32) | binding |
 |---|---|---|---|---|---|---|---|
-| sor2sma (nx, n=4) | 10.9 | 183101 | 384 | 47% | 3.5 | 14% | VPU |
-| pcr_rb | 23.5 | 85069 | 713 | 87% | 23.4 | 95% | MXU |
-| pcr_j_esa | 22.8 | 87608 | 735 | 90% | 24.1 | 98% | MXU |
-| pcr_rb_maf | 42.9 | 46641 | 391 | 48% | 25.6 | 104% | MXU |
+| sor2sma (nx, n=6) | 13.7 | 146110 | 204 | 25% | 2.8 | 11% | VPU |
+| pcr_rb | 24.5 | 81732 | 685 | 84% | 22.4 | 91% | MXU |
+| pcr_j_esa | 24.1 | 83087 | 697 | 85% | 22.8 | 93% | MXU |
+| pcr_rb_maf | 43.5 | 45973 | 386 | 47% | 25.3 | 103% | MXU |
 
 Reading: **the pcr_rb-vs-sor2sma cells/s gap is inherent on this
-hardware.**  pcr_rb runs at ~95% of the f32 MXU ceiling *and* 87% of HBM
-simultaneously — there is no headroom on either resource, and the
+hardware.**  pcr_rb runs at ~90% of the f32 MXU ceiling *and* ~85% of
+HBM simultaneously — there is no headroom on either resource, and the
 temporal-blocking trick that lifted sor2sma past the 1-iteration HBM
 speed-of-light only helps kernels whose per-iteration compute fits under
 the stream (an n-iteration line kernel would still serialize on the same
-MXU work).  sor2sma at n=4 is VPU-bound — neither modeled ceiling is
-near saturation, and deeper blocking measured flat (n=6 within noise) —
-so ~11 us/iter is the point-sweep floor on this chip.  pcr_rb_maf
-saturates the MXU outright (the ~3% over 100% is the model ignoring its
-+6% packed-row padding), confirming the documented 2x matmul-count bound
+MXU work).  sor2sma under deep blocking is VPU-bound — neither modeled
+ceiling is near saturation, and n=4/6/8 measure within a few percent —
+so ~11-14 us/iter (run-to-run tunnel spread; bench.py median 146-151
+Gcells/s) is the point-sweep floor on this chip.  pcr_rb_maf saturates
+the MXU outright (the ~3% over 100% is the model ignoring its +6%
+packed-row padding), confirming the documented 2x matmul-count bound
 below.
 
 ## MAF line-solver cost ratio
