@@ -524,7 +524,7 @@ def make_packed_sweepnx(
     offset: int = 0,
     kt: int | None = None,
     mc=None,
-    vmem_limit_bytes: int = 100 << 20,
+    vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ):
     """``n`` full packed RB iterations per HBM pass (zero-RHS only).
@@ -564,11 +564,15 @@ def make_packed_sweepnx(
         # would force on n=3
         row = IPP * Jp * itemsize
         kt = None
-        # honor a caller limit below the standard budget when sizing;
-        # the raised second pass only applies under the default limit
-        budgets = [(min(64 << 20, vmem_limit_bytes), vmem_limit_bytes)]
-        if vmem_limit_bytes >= (64 << 20):
-            budgets.append((96 << 20, 120 << 20))
+        # an explicit caller limit is honored strictly (sizing budget AND
+        # compile limit); only the default (None) gets the raised second
+        # sizing pass up to 120 MB (measured v5e 256^3 n=4 wins, above)
+        if vmem_limit_bytes is None:
+            budgets = [(64 << 20, 100 << 20), (96 << 20, 120 << 20)]
+        else:
+            budgets = [
+                (min(64 << 20, vmem_limit_bytes), vmem_limit_bytes)
+            ]
         for budget, limit in budgets:
             for cand in range(max(8, 2 * n + 2), min(K, 32) + 1):
                 if K % cand:
@@ -577,8 +581,10 @@ def make_packed_sweepnx(
                 if rows * row <= budget - table_bytes:
                     kt = cand
             if kt is not None:
-                vmem_limit_bytes = max(vmem_limit_bytes, limit)
+                vmem_limit_bytes = limit
                 break
+    if vmem_limit_bytes is None:
+        vmem_limit_bytes = 100 << 20  # explicit-kt call under the default
     if kt is None or K % kt or kt < max(8, 2 * n + 2):
         return None
 

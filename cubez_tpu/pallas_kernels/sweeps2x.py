@@ -446,11 +446,17 @@ def _sweepnx_kernel(
 
 
 def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
-             interpret, tables=()):
+             interpret, tables=(), dyn_smem_shapes=()):
     """pallas_call for the n-iterations-per-pass pipeline over
     (K+4, IP, Jp) zero-RHS state (see _sweepnx_kernel).  Returns a callable
     ``xp -> (xp_new, r2)`` with r2 of shape (T+1, 2n) — per-tile partial
-    sums of the n iterations' two colors."""
+    sums of the n iterations' two colors.
+
+    ``dyn_smem_shapes``: shapes of per-call dynamic scalar inputs (int32,
+    SMEM) handed to pair_fn as refs BEFORE the resident ``tables`` — the
+    distributed per-block form (dist_rbpack.py) passes its traced global
+    offsets this way.  With any, the returned callable takes
+    ``(xp, *dyn) -> (xp_new, r2)``."""
     itemsize = jnp.dtype(dtype).itemsize
     T = K // kt
     if kt < max(8, 2 * n + 2) or K % kt:
@@ -458,7 +464,7 @@ def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
                          f"{max(8, 2 * n + 2)} and kt | K)")
     kern = functools.partial(
         _sweepnx_kernel, K=K, IP=IP, Jp=Jp, kt=kt, n=n, pair_fn=pair_fn,
-        n_tabs=len(tables),
+        n_tabs=len(dyn_smem_shapes) + len(tables),
     )
     scratch = [pltpu.VMEM((2, kt + 4, IP, Jp), dtype)]  # x0 slabs
     scratch += [
@@ -473,6 +479,11 @@ def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
         kern,
         grid=(T + 1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(shp, (lambda t, _nd=len(shp): (0,) * _nd),
+                         memory_space=pltpu.SMEM)
+            for shp in dyn_smem_shapes
+        ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables],
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
@@ -497,6 +508,8 @@ def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
         input_output_aliases={0: 0},
         interpret=interpret,
     )
+    if dyn_smem_shapes:
+        return lambda xp, *dyn: inner(xp, *dyn, *tables)
     if not tables:
         return inner
     return lambda xp: inner(xp, *tables)

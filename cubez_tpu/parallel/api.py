@@ -33,14 +33,19 @@ def solve_dist(
     eps: float = EPS_DEFAULT,
     history_path: Optional[str] = None,
     impl: str = "auto",
-    sync: str = "color",
+    sync: str = "auto",
     check_every: Optional[int] = None,
     precond: Optional[str] = None,
 ) -> SolveResult:
     """Run a relaxation/line solver distributed over the mesh.
 
     The returned SolveResult.x is the assembled global (K, I, J) field.
-    ``sync`` selects the red-black halo cadence (see dist_fused).
+    ``sync`` selects the red-black halo cadence: 'pack' is the production
+    path — packed-RB blocks with depth-2n ghost exchange and n-iteration
+    temporally-blocked window chains, owned cells bitwise the serial
+    result (dist_pack.py); 'color'/'iter' are the per-iteration cadences
+    (dist_fused.py); 'overlap' overlaps ghost collectives with compute.
+    'auto' resolves to 'pack' where it applies, else 'color'.
 
     Every solver name runs (the reference runs all of them multi-rank,
     cz_Poisson.cpp); the step implementation degrades gracefully:
@@ -89,12 +94,46 @@ def solve_dist(
     )
 
     overlap = sync == "overlap"
+    interpret = jax.default_backend() != "tpu"
+
+    # production path first: packed-RB blocks + communication-avoiding
+    # temporal blocking, owned cells bitwise the serial production kernel
+    if (
+        use_fused and not overlap and sync in ("auto", "pack")
+        and kind == "sor2sma" and not is_maf
+    ):
+        from . import dist_pack
+
+        pstep = dist_pack.make_dist_packed_step(
+            problem, cmesh, omega, interpret=interpret
+        )
+        if pstep is not None:
+            hs = pstep.hs
+            xs = dist_pack.to_packed_state(cmesh, problem.x0, hs)
+            bs = dist_pack.to_packed_state(cmesh, problem.rhs, hs)
+            result = run_iterative(
+                pstep, xs, bs, g.res_normal, itr_max, eps,
+                check_every=check_every,
+            )
+            import dataclasses
+
+            result = dataclasses.replace(
+                result,
+                x=dist_pack.from_packed_state(
+                    cmesh, result.x, g.shape_kij, hs
+                ),
+            )
+            if history_path:
+                result.write_history(history_path)
+            return result
+
     step = None
     if use_fused and not overlap:
         step = dist_fused.make_dist_fused_step(
-            problem, cmesh, kind, omega, sync=sync,
+            problem, cmesh, kind, omega,
+            sync="color" if sync in ("auto", "pack") else sync,
             b_is_zero=problem.rhs_is_inner_zero(),
-            interpret=(jax.default_backend() != "tpu"),
+            interpret=interpret,
         )
     if step is not None:
         if line:
