@@ -50,24 +50,32 @@ def unpad_block(xp, block_shape):
     return xp[2 : lk + 2, 1 : li + 1, 1 : lj + 1]
 
 
-def _dist_masks(rows, Ip, Jp, lk, li, lj, gshape, offs_ref, lk_start, offset):
+def _dist_masks(rows, Ip, Jp, lk, li, lj, gshape, offs_ref, lk_start, offset,
+                shrink_shell: bool = False):
     """(inner&local, par) for ``rows`` extended K-rows whose first row has
-    *local* index ``lk_start``; global offsets read from the SMEM ref."""
+    *local* index ``lk_start``; global offsets read from the SMEM ref.
+
+    ``shrink_shell`` additionally excludes the one-cell local boundary
+    shell (cells whose stencil touches a ghost plane) — the interior
+    half of the halo/compute overlap split (dist_fused overlap step):
+    the kernel runs while the ghost collectives fly, and the shell is
+    recomputed afterwards from the refreshed ghosts."""
     Kg, Ig, Jg = gshape
     k0g = offs_ref[0, 0]
     i0g = offs_ref[0, 1]
     j0g = offs_ref[0, 2]
+    s = 1 if shrink_shell else 0
     lkidx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1, 1), 0) + jnp.asarray(
         lk_start, jnp.int32
     )
     gk = lkidx + k0g
-    ok_k = (lkidx >= 0) & (lkidx <= lk - 1) & (gk >= 1) & (gk <= Kg - 2)
+    ok_k = (lkidx >= s) & (lkidx <= lk - 1 - s) & (gk >= 1) & (gk <= Kg - 2)
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, Ip, Jp), 1)
     cj = jax.lax.broadcasted_iota(jnp.int32, (1, Ip, Jp), 2)
     gi = ci - 1 + i0g
     gj = cj - 1 + j0g
     ok_ij = (
-        (ci >= 1) & (ci <= li) & (cj >= 1) & (cj <= lj)
+        (ci >= 1 + s) & (ci <= li - s) & (cj >= 1 + s) & (cj <= lj - s)
         & (gi >= 1) & (gi <= Ig - 2) & (gj >= 1) & (gj <= Jg - 2)
     )
     two = jnp.asarray(2, jnp.int32)
@@ -95,7 +103,8 @@ def _delta(xfull, mask, bmid, omega, dtype):
 def _block_kernel(
     offs_ref, xhp_ref, bhp_ref, out_ref, r2_ref,
     xs, bs, outs, in_sems, b_sems, out_sems,
-    *, kind, gshape, lk, li, lj, Ip, Jp, kt, omega, offset, b_is_zero, color
+    *, kind, gshape, lk, li, lj, Ip, Jp, kt, omega, offset, b_is_zero, color,
+    shrink_shell=False
 ):
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -163,7 +172,8 @@ def _block_kernel(
         )
     else:
         upd, par = _dist_masks(
-            kt, Ip, Jp, lk, li, lj, gshape, offs_ref, k0, offset
+            kt, Ip, Jp, lk, li, lj, gshape, offs_ref, k0, offset,
+            shrink_shell=shrink_shell,
         )
         if color is not None:  # one color of the per-color-sync RB sweep
             upd = upd & (par == color)
@@ -205,6 +215,7 @@ def make_block_sweep(
     kt: int | None = None,
     b_is_zero: bool = False,
     color: int | None = None,
+    shrink_shell: bool = False,
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
@@ -252,6 +263,7 @@ def make_block_sweep(
         offset=int(offset),
         b_is_zero=bool(b_is_zero),
         color=color,
+        shrink_shell=bool(shrink_shell),
     )
 
     call = pl.pallas_call(

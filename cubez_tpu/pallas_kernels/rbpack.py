@@ -366,9 +366,9 @@ def _rb_pair_packed_maf(
     *, K, I2, J, I2p, Jp, offset, omega, dtype
 ):
     """MAF variant of :func:`_rb_pair_packed` for the 2x pipeline: the
-    per-k weight rows live in a resident (K + kt + 16, 4, Jp) table
-    (true k = g at row g + 8, so the lag-window's negative k0_mid stays
-    in range).  The table carries full Jp lanes: a 1-lane slice would
+    per-k weight rows live in a resident (K + kt + 32, 4, Jp) table
+    (true k = g at row g + 16, so the lag-window's negative k0_mid stays
+    in range down to -16, admitting n <= 7 window chains).  The table carries full Jp lanes: a 1-lane slice would
     make the weight*neighbor products broadcast in sublanes AND lanes at
     once, which Mosaic rejects ("Broadcast in both sublanes and lanes" —
     only ever worked in interpret mode); with full lanes the multiply
@@ -382,7 +382,7 @@ def _rb_pair_packed_maf(
         bR = bv[:, 0:I2p]
         bB = bv[1:-1, I2p : 2 * I2p]
     ti = ti_ref[:]
-    wz = tk_ref[pl.ds(k0_mid + 8, rows - 2), :, :]  # (rows-2, 4, Jp)
+    wz = tk_ref[pl.ds(k0_mid + 16, rows - 2), :, :]  # (rows-2, 4, Jp)
     mR, selR = _parity_masks(rows - 2, k0_mid, offset, K, I2, J, I2p, Jp, 0)
     Rn, dpR = _pair_update_maf(
         Rv[1:-1], Bv, bR, mR, selR, ti, wz, omega, dtype
@@ -436,7 +436,7 @@ def make_packed_sweep2x(
     # resident MAF tables: (8, I2p, Jp) ti + (K + kt + 16, 4, Jp) tk
     # (kt <= kt_cap = 32 at sizing time)
     table_bytes = (
-        (8 * I2p + 4 * (K + 48)) * Jp * itemsize if mc is not None else 0
+        (8 * I2p + 4 * (K + 64)) * Jp * itemsize if mc is not None else 0
     )
     if kt is None:
         kt = choose_kt(
@@ -488,8 +488,8 @@ def _pair_setup(shape, dtype, omega, offset, kt, mc):
     """(tables, pair_fn, flops_per_iteration) shared by the 2x and nx
     temporally-blocked builders: the dense one-RB-iteration closure over
     a slab, the resident MAF metric tables — the per-k tk table carries
-    an 8-row guard band so window k0_mid >= -8 stays in range
-    (_rb_pair_packed_maf; caps MAF blocking at n <= 3) — and the
+    a 16-row guard band so window k0_mid >= -16 stays in range
+    (_rb_pair_packed_maf; admits MAF blocking up to n <= 7) — and the
     per-iteration flop model (cz_solver.f90:438 / cz_maf.f90:334)."""
     import numpy as np
 
@@ -504,10 +504,10 @@ def _pair_setup(shape, dtype, omega, offset, kt, mc):
     half = npdt.type(0.5)
     c3 = np.asarray(mc.c3, npdt).reshape(-1)[:K]
     c9 = np.asarray(mc.c9, npdt).reshape(-1)[:K]
-    tk = np.ones((K + kt + 16, 4, Jp), npdt)
-    tk[8 : 8 + K, 0, :] = (c3 - half * c9)[:, None]
-    tk[8 : 8 + K, 1, :] = (c3 + half * c9)[:, None]
-    tk[8 : 8 + K, 2, :] = c3[:, None]
+    tk = np.ones((K + kt + 32, 4, Jp), npdt)
+    tk[16 : 16 + K, 0, :] = (c3 - half * c9)[:, None]
+    tk[16 : 16 + K, 1, :] = (c3 + half * c9)[:, None]
+    tk[16 : 16 + K, 2, :] = c3[:, None]
     return (
         (ti, jnp.asarray(tk)),
         functools.partial(_rb_pair_packed_maf, **kw),
@@ -536,8 +536,8 @@ def make_packed_sweepnx(
     values are bitwise-equal to ``n`` single packed sweeps; r2 is an
     (n,) vector of the iterations' residual sums.  Returns None when the
     layout or a viable K tiling does not exist (callers fall back to the
-    2x pair / single sweep).  ``n`` is capped at 3 with ``mc``: the
-    resident per-k MAF table's 8-row guard band covers k0_mid >= -8
+    2x pair / single sweep).  ``n`` is capped at 7 with ``mc``: the
+    resident per-k MAF table's 16-row guard band covers k0_mid >= -16
     (_rb_pair_packed_maf), and window w runs at k0_mid = -2w - 1 on
     tile 0.
     """
@@ -545,14 +545,14 @@ def make_packed_sweepnx(
 
     K, I, J = shape
     # n <= 9: the parity-mask constants cover k_start >= -19
-    # (_parity_masks); MAF additionally n <= 3 (tk guard band, _pair_setup)
-    if I % 2 or n < 2 or n > 9 or (mc is not None and n > 3):
+    # (_parity_masks); MAF additionally n <= 7 (tk guard band, _pair_setup)
+    if I % 2 or n < 2 or n > 9 or (mc is not None and n > 7):
         return None
     _, _, _, I2, I2p, Jp = _dims(shape)
     IPP = 2 * I2p
     itemsize = jnp.dtype(dtype).itemsize
     table_bytes = (
-        (8 * I2p + 4 * (K + 48)) * Jp * itemsize if mc is not None else 0
+        (8 * I2p + 4 * (K + 64)) * Jp * itemsize if mc is not None else 0
     )
     if kt is None:
         # scratch: (n+1) double-buffered (kt+4)-row slabs/windows + 2*kt

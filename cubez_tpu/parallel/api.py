@@ -128,7 +128,15 @@ def solve_dist(
             return result
 
     step = None
-    if use_fused and not overlap:
+    if use_fused and overlap and kind == "sor2sma" and not is_maf:
+        # halo exchange overlapped with the fused interior kernel
+        # (bitwise == the sequential per-color path; see dist_fused)
+        step = dist_fused.make_dist_fused_overlap_step(
+            problem, cmesh, omega,
+            b_is_zero=problem.rhs_is_inner_zero(),
+            interpret=interpret,
+        )
+    elif use_fused and not overlap:
         step = dist_fused.make_dist_fused_step(
             problem, cmesh, kind, omega,
             sync="color" if sync in ("auto", "pack") else sync,

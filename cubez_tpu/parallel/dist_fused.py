@@ -97,6 +97,52 @@ def _refresh_ghosts(xp, block_shape):
     return xp
 
 
+def _collect_ghosts(xp, block_shape):
+    """All six width-1 ghost planes from the mesh neighbors, gathered from
+    the CURRENT block faces with NO writes in between — the collect half
+    of the halo/compute overlap split (every ppermute is data-independent
+    of the interior sweep, so XLA's latency-hiding scheduler runs the
+    collectives while the kernel computes).  Edge/corner parts of the
+    planes are stale sender-side ghosts, which no width-1 7-pt consumer
+    reads (NOFACE=6 semantics, CB_Define_stub.h:31-35)."""
+    lk, li, lj = block_shape
+    spans = [
+        (0, "z", 2, lk + 1, 1, lk + 2),
+        (1, "x", 1, li, 0, li + 1),
+        (2, "y", 1, lj, 0, lj + 1),
+    ]
+    out = []
+    for ax, mesh_ax, lo_dat, hi_dat, lo_gst, hi_gst in spans:
+        n = lax.axis_size(mesh_ax)
+        idx = [slice(None)] * 3
+        idx[ax] = lo_dat
+        lo_face = xp[tuple(idx)]
+        idx[ax] = hi_dat
+        hi_face = xp[tuple(idx)]
+        if n == 1:
+            ghost_hi = jnp.zeros_like(lo_face)
+            ghost_lo = jnp.zeros_like(hi_face)
+        else:
+            ghost_hi = lax.ppermute(
+                lo_face, mesh_ax, [(i, i - 1) for i in range(1, n)]
+            )
+            ghost_lo = lax.ppermute(
+                hi_face, mesh_ax, [(i, i + 1) for i in range(n - 1)]
+            )
+        out.append((ax, lo_gst, hi_gst, ghost_lo, ghost_hi))
+    return out
+
+
+def _write_ghosts(xp, ghosts):
+    for ax, lo_gst, hi_gst, ghost_lo, ghost_hi in ghosts:
+        idx = [slice(None)] * 3
+        idx[ax] = lo_gst
+        xp = xp.at[tuple(idx)].set(ghost_lo)
+        idx[ax] = hi_gst
+        xp = xp.at[tuple(idx)].set(ghost_hi)
+    return xp
+
+
 def to_line_block_state(cmesh: CubeMesh, arr):
     """Global (K, I, J) array -> sharded ghosted line-layout block state
     (for the distributed fused line solvers)."""
@@ -150,6 +196,145 @@ def _refresh_ghosts_line(xp, block_shape):
         idx[ax] = hi_gst
         xp = xp.at[tuple(idx)].set(ghost_hi)
     return xp
+
+
+def make_dist_fused_overlap_step(
+    problem: Problem,
+    cmesh: CubeMesh,
+    omega: float,
+    *,
+    b_is_zero: bool = False,
+    interpret: bool | None = None,
+):
+    """sor2sma step with the halo exchange OVERLAPPED with the fused
+    interior kernel — the capability the reference lacks (its loop is
+    strictly kernel -> Comm_S -> allreduce, cz_Poisson.cpp:39-79).
+
+    Per color: (1) gather all six ghost planes from the CURRENT faces
+    (_collect_ghosts — data-independent of the sweep, so the ppermutes
+    fly while the kernel runs); (2) fused block sweep with the one-cell
+    local boundary shell masked off (dist_sweeps shrink_shell); (3) write
+    the received ghosts; (4) recompute the six shell faces from the
+    refreshed state with the kernel's exact arithmetic order.
+
+    Equivalent to the sequential per-color path (sync='color') by
+    construction: a color-c cell's seven stencil reads are all color 1-c
+    or ghosts — none is touched by this color's kernel pass — so
+    interior and shell both see exactly the synchronized values, and the
+    shell patch replicates the kernel's operand order.  Measured
+    agreement is 0-2 ulp (the XLA-fused patch and the Pallas kernel may
+    contract multiply-adds differently), with identical iteration
+    counts; residual partial sums group differently (interior kernel +
+    disjoint face sums).  Constant coefficients, f32."""
+    g = problem.grid
+    if g.dtype != jnp.float32 or problem.mc is not None:
+        return None
+    gshape = g.shape_kij
+    Kg, Ig, Jg = gshape
+    bs = _block_shape(cmesh, gshape)
+    lk, li, lj = bs
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    kw = dict(omega=omega, b_is_zero=b_is_zero, interpret=interpret)
+    sweeps = [
+        make_block_sweep("sor2sma", bs, gshape, g.dtype, color=c,
+                         shrink_shell=True, **kw)
+        for c in (0, 1)
+    ]
+    if any(s is None for s in sweeps):
+        return None
+    dtype = g.dtype
+    om = jnp.asarray(omega, dtype)
+    r6 = jnp.asarray(1.0 / 6.0, dtype)
+
+    # The six face windows partition the one-cell shell DISJOINTLY: K
+    # faces take their whole plane, I faces drop the k-edges, J faces
+    # drop k- and i-edges.  Disjointness is load-bearing, not just r2
+    # accounting: the SOR update is not idempotent in the cell's own
+    # value (x_new = (1-w)x + w*ss/6), so a cell patched by two
+    # overlapping windows would be over-relaxed twice.
+    def win_slices(axis, at_lo):
+        starts = [2, 1, 1]
+        sizes = [lk, li, lj]
+        sl = [
+            slice(starts[a], starts[a] + sizes[a]) for a in range(3)
+        ]
+        if axis >= 1:  # drop k-edges (owned by the K faces)
+            sl[0] = slice(3, lk + 1)
+        if axis == 2:  # drop i-edges (owned by the I faces)
+            sl[1] = slice(2, li)
+        pos = starts[axis] if at_lo else starts[axis] + sizes[axis] - 1
+        sl[axis] = slice(pos, pos + 1)
+        return sl
+
+    def face_mask(sl, k0, i0, j0, color):
+        shp = tuple(s.stop - s.start for s in sl)
+        gk = jax.lax.broadcasted_iota(jnp.int32, shp, 0) + (
+            sl[0].start - 2 + k0
+        )
+        gi = jax.lax.broadcasted_iota(jnp.int32, shp, 1) + (
+            sl[1].start - 1 + i0
+        )
+        gj = jax.lax.broadcasted_iota(jnp.int32, shp, 2) + (
+            sl[2].start - 1 + j0
+        )
+        inner = (
+            (gk >= 1) & (gk <= Kg - 2)
+            & (gi >= 1) & (gi <= Ig - 2)
+            & (gj >= 1) & (gj <= Jg - 2)
+        )
+        par = jax.lax.rem(gk + gi + gj + 1, jnp.asarray(2, jnp.int32))
+        return inner & (par == color)
+
+    def patch_face(xp, bp, k0, i0, j0, color, axis, at_lo):
+        sl = win_slices(axis, at_lo)
+
+        def nb(a, d):
+            s = list(sl)
+            s[a] = slice(s[a].start + d, s[a].stop + d)
+            return xp[tuple(s)]
+
+        xc = xp[tuple(sl)]
+        # kernel add order (dist_sweeps._delta): k-1, k+1, i-1, i+1,
+        # j-1, j+1 — bitwise parity with the fused sweep requires it
+        ss = (
+            nb(0, -1) + nb(0, 1) + nb(1, -1) + nb(1, 1)
+            + nb(2, -1) + nb(2, 1)
+        )
+        if b_is_zero:
+            upd = (ss * r6 - xc) * om
+        else:
+            upd = ((ss - bp[tuple(sl)]) * r6 - xc) * om
+        mask = face_mask(sl, k0, i0, j0, color)
+        dp = jnp.where(mask, upd, jnp.zeros((), dtype))
+        xp = xp.at[tuple(sl)].set(xc + dp)
+        dpf = dp.astype(jnp.float32)
+        return xp, jnp.sum(dpf * dpf)
+
+    def body(xp, bp):
+        k0 = lax.axis_index("z").astype(jnp.int32) * lk
+        i0 = lax.axis_index("x").astype(jnp.int32) * li
+        j0 = lax.axis_index("y").astype(jnp.int32) * lj
+        offs = jnp.stack([k0, i0, j0]).reshape(1, 3)
+        r2 = jnp.zeros((), jnp.float32)
+        for c, sweep in enumerate(sweeps):
+            ghosts = _collect_ghosts(xp, bs)  # independent of the sweep
+            xp, r2i = sweep(xp, bp, offs)     # interior, shell masked off
+            xp = _write_ghosts(xp, ghosts)
+            r2 = r2 + r2i
+            for axis in (0, 1, 2):
+                for at_lo in (True, False):
+                    xp, r2f = patch_face(xp, bp, k0, i0, j0, c, axis, at_lo)
+                    r2 = r2 + r2f
+        return xp, lax.psum(r2, AXES)
+
+    return shard_map(
+        body,
+        mesh=cmesh.mesh,
+        in_specs=(FIELD_SPEC, FIELD_SPEC),
+        out_specs=(FIELD_SPEC, P()),
+        check_vma=False,
+    )
 
 
 def make_dist_fused_step(

@@ -84,8 +84,11 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
             # the sweep is VPU-bound beyond n~4 so returns flatten —
             # 128^3 pair 122 / n=4 145 / n=6 147 Gcells/s, 256^3 n=4
             # 141 / n=6 145 — but n=6 stays measurably ahead where its
-            # windows fit.  MAF caps at n=3 (resident-table guard band)
-            # and gains ~3%.  The builders return None where the windows
+            # windows fit.  MAF admits n <= 7 (16-row resident-table
+            # guard band); measured on v5e the MAF pair update is
+            # VPU-bound, so deeper MAF blocking plateaus (~29 us/iter at
+            # 128^3 for n=3/4/6 alike) — the dispatch order below still
+            # picks the deepest fit, which is never slower.  The builders return None where the windows
             # don't fit VMEM (512^3 needs kt=8 and stays on the pair:
             # measured neutral at best under a near-limit VMEM budget).
             for nx in (6, 4, 3):

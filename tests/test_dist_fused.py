@@ -248,3 +248,64 @@ def test_dist_fused_maf_pcr_rb_matches_jnp_dist():
     back = dist_fused.from_line_block_state(cm, xs, prob.grid.shape_kij)
     assert float(jnp.max(jnp.abs(back - xj))) < 2e-5
     np.testing.assert_allclose(float(r2f), float(r2j), rtol=1e-3, atol=1e-6)
+
+
+@pytest.mark.parametrize("div", [(2, 2, 2), (1, 2, 4)])
+def test_fused_overlap_matches_color_sync(div):
+    """Halo/compute overlap on the FUSED path (interior Pallas kernel with
+    the shell masked off, ppermutes data-independent, shell recomputed
+    from refreshed ghosts) equals the sequential per-color path to <=2
+    ulp per iteration (XLA may contract the shell patch's multiply-adds
+    differently than the kernel; the operand order is identical)."""
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    nd = div[0] * div[1] * div[2]
+    cm = make_mesh((n, n, n), devices=cpu8()[:nd], div=div)
+    ov = dist_fused.make_dist_fused_overlap_step(prob, cm, 1.5,
+                                                 b_is_zero=True)
+    seq = dist_fused.make_dist_fused_step(prob, cm, "sor2sma", 1.5,
+                                          b_is_zero=True, sync="color")
+    assert ov is not None and seq is not None
+    x1 = dist_fused.to_block_state(cm, prob.x0)
+    x2 = dist_fused.to_block_state(cm, prob.x0)
+    bs = dist_fused.to_block_state(cm, prob.rhs)
+    for _ in range(4):
+        x1, r1 = ov(x1, bs)
+        x2, r2 = seq(x2, bs)
+    b1 = dist_fused.from_block_state(cm, x1, prob.grid.shape_kij)
+    b2 = dist_fused.from_block_state(cm, x2, prob.grid.shape_kij)
+    assert float(jnp.max(jnp.abs(b1 - b2))) < 3e-7
+    np.testing.assert_allclose(float(r1), float(r2), rtol=1e-5)
+
+
+def test_fused_overlap_single_block_bitwise():
+    """With zero ghosts (1-device mesh) the interior+shell composition is
+    bitwise the sequential fused sweep."""
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8()[:1], div=(1, 1, 1))
+    ov = dist_fused.make_dist_fused_overlap_step(prob, cm, 1.5,
+                                                 b_is_zero=True)
+    seq = dist_fused.make_dist_fused_step(prob, cm, "sor2sma", 1.5,
+                                          b_is_zero=True, sync="color")
+    x1 = dist_fused.to_block_state(cm, prob.x0)
+    x2 = dist_fused.to_block_state(cm, prob.x0)
+    bs = dist_fused.to_block_state(cm, prob.rhs)
+    for _ in range(3):
+        x1, _ = ov(x1, bs)
+        x2, _ = seq(x2, bs)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+
+
+@pytest.mark.slow
+def test_solve_dist_overlap_iteration_count_exact():
+    """solve_dist(sync='overlap') through the fused overlap step matches
+    the serial oracle count (sor2sma 32^3 omega=1.5 -> 199)."""
+    from cubez_tpu.parallel.api import solve_dist
+
+    n = 32
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=cpu8(), div=(2, 2, 2))
+    r = solve_dist(prob, cm, "sor2sma", omega=1.5, itr_max=2000, eps=1e-5,
+                   impl="pallas", sync="overlap")
+    assert r.iters == 199, r.iters

@@ -68,11 +68,13 @@ def test_nx_matches_n_singles(n_it, kt):
         np.testing.assert_allclose(np.asarray(rn), rs, rtol=1e-5)
 
 
-def test_nx_maf_stretched_tables():
+@pytest.mark.parametrize("n", [3, 4, 6])
+def test_nx_maf_stretched_tables(n):
     """MAF nx on a genuinely tanh-stretched grid (k-varying c3/c9): pins
     the resident per-k table's row alignment across the lagged windows —
     a bug there is invisible on the uniform cube where the tables are
-    constant in k."""
+    constant in k.  n=4/6 exercise the 16-row guard band (windows reach
+    k0_mid = -2n-1 >= -13 on tile 0)."""
     from cubez_tpu.pallas_kernels import rbpack
 
     prob, _u = Problem.manufactured_stretched(16, dtype=jnp.float32)
@@ -82,7 +84,7 @@ def test_nx_maf_stretched_tables():
         shape, omega=1.5, mc=mc, b_is_zero=True, interpret=True
     )
     tri = rbpack.make_packed_sweepnx(
-        shape, omega=1.5, n=3, mc=mc, interpret=True
+        shape, omega=1.5, n=n, mc=mc, interpret=True
     )
     assert single is not None and tri is not None
     # a rough start so every window does real work
@@ -93,7 +95,7 @@ def test_nx_maf_stretched_tables():
     bp = single.pad(jnp.zeros_like(prob.rhs))
     xp_t = xp_s
     rs = []
-    for _ in range(3):
+    for _ in range(n):
         xp_s, r = single(xp_s, bp)
         rs.append(float(r))
     xp_t, rt = tri(xp_t, bp)
