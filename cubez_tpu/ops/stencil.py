@@ -48,6 +48,39 @@ def jacobi_sweep(x, b, msk, omega):
     return x + dp, jnp.sum(dp * dp)
 
 
+def inner_mask_expr(shape_kij, dtype=jnp.float32):
+    """Inner mask synthesized from broadcasted_iota — call INSIDE the
+    step so that under jit it is a fused expression, not an embedded
+    (K, I, J) constant.  At 512^3 the constant form is 536 MB per mask
+    baked into the executable (the remote compile service rejects the
+    program outright); the iota form costs a few VPU ops and zero HBM
+    (the same trick the Pallas kernels use, sweeps.py:_iota_masks).
+    Values are identical to ``grid.inner_mask`` — results are bitwise
+    unchanged."""
+    nk, ni, nj = shape_kij
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nk, 1, 1), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, ni, 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nj), 2)
+    inner = (
+        (kk >= 1) & (kk <= nk - 2)
+        & (ii >= 1) & (ii <= ni - 2)
+        & (jj >= 1) & (jj <= nj - 2)
+    )
+    return inner.astype(dtype)
+
+
+def color_masks_expr(shape_kij, offset: int = 0, dtype=jnp.float32):
+    """Traced-iota form of :func:`color_masks` (same values, no embedded
+    constants) — color masks depend only on the shape, so the steps
+    always use this form."""
+    nk, ni, nj = shape_kij
+    kk = jax.lax.broadcasted_iota(jnp.int32, (nk, 1, 1), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, ni, 1), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, 1, nj), 2)
+    par = jax.lax.rem(kk + ii + jj + (offset + 1), jnp.asarray(2, jnp.int32))
+    return (par == 0).astype(dtype), (par == 1).astype(dtype)
+
+
 def color_masks(shape_kij, offset: int = 0, dtype=jnp.float32):
     """Checkerboard masks for the 2-color (red/black) sweeps.
 

@@ -225,10 +225,22 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
             if kind == "fmg" else None,
         )
 
+    # Standard-mask problems synthesize the inner mask from iota INSIDE
+    # the step: a closed-over (K, I, J) mask array is embedded in the
+    # jitted executable as a constant (536 MB at 512^3 — rejected by a
+    # remote compile service, and an extra HBM stream besides); the iota
+    # form has identical values, so results are bitwise unchanged.
+    # Color masks depend only on the shape and always use the iota form.
+    if problem.msk is g.inner_mask:
+        mskf = lambda: stencil.inner_mask_expr(g.shape_kij, dtype)  # noqa: E731
+    else:
+        mskf = lambda: msk  # noqa: E731
+
     if kind == "jacobi":
         if is_maf:
-            return lambda x, b: maf_ops.jacobi_maf_sweep(x, b, msk, omega, mc)
-        return lambda x, b: stencil.jacobi_sweep(x, b, msk, omega)
+            return lambda x, b: maf_ops.jacobi_maf_sweep(x, b, mskf(), omega,
+                                                         mc)
+        return lambda x, b: stencil.jacobi_sweep(x, b, mskf(), omega)
 
     if kind == "psor":
         # diagonal-plane affine-scan Gauss-Seidel: same serial dependency
@@ -245,12 +257,17 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
         )
 
     if kind == "sor2sma":
-        cmasks = stencil.color_masks(g.shape_kij, offset=color_offset, dtype=dtype)
+        def cmasksf():
+            return stencil.color_masks_expr(
+                g.shape_kij, offset=color_offset, dtype=dtype
+            )
+
         if is_maf:
             return lambda x, b: maf_ops.sor2sma_maf_sweep(
-                x, b, msk, omega, mc, cmasks
+                x, b, mskf(), omega, mc, cmasksf()
             )
-        return lambda x, b: stencil.sor2sma_sweep(x, b, msk, omega, cmasks)
+        return lambda x, b: stencil.sor2sma_sweep(x, b, mskf(), omega,
+                                                  cmasksf())
 
     # ---- line solvers -------------------------------------------------------
     n = ked - kst + 1

@@ -87,3 +87,33 @@ def resume(problem, ckpt: Checkpoint, itr_max: int, *, solver: Optional[str] = N
         eps=eps if eps is not None else ckpt.eps,
         **kw,
     )
+
+
+def resume_dist(problem, cmesh, ckpt: Checkpoint, itr_max: int, *,
+                solver: Optional[str] = None, omega: Optional[float] = None,
+                eps: Optional[float] = None, **kw):
+    """Distributed continuation of a checkpointed solve over ``cmesh``.
+
+    The checkpoint stores the canonical global (K, I, J) field, so a
+    solve may be checkpointed on one mesh (or serially) and resumed on
+    any other — solve_dist re-shards and re-packs the state for the
+    production per-block path."""
+    import dataclasses as dc
+
+    from ..parallel.api import solve_dist
+
+    if ckpt.x.shape != problem.grid.shape_kij:
+        raise ValueError(
+            f"checkpoint shape {ckpt.x.shape} != problem "
+            f"{problem.grid.shape_kij}"
+        )
+    prob = dc.replace(problem, x0=jnp.asarray(ckpt.x, problem.grid.dtype))
+    return solve_dist(
+        prob,
+        cmesh,
+        solver or ckpt.solver,
+        omega=omega if omega is not None else ckpt.omega,
+        itr_max=itr_max,
+        eps=eps if eps is not None else ckpt.eps,
+        **kw,
+    )

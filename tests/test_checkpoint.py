@@ -43,3 +43,40 @@ def test_checkpoint_shape_mismatch_rejected(tmp_path):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+def test_sharded_checkpoint_resume_matches_straight(tmp_path):
+    """save -> load -> resume on the 8-device mesh equals the
+    uninterrupted sharded solve (the production dist-packed path is
+    serial-exact, so the split is bitwise)."""
+    import jax
+
+    from cubez_tpu.parallel.api import solve_dist
+    from cubez_tpu.parallel.mesh import make_mesh
+
+    n = 32
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = make_mesh((n, n, n), devices=jax.devices("cpu")[:8], div=(2, 2, 2))
+
+    straight = solve_dist(prob, cm, "sor2sma", omega=1.5, itr_max=2000,
+                          eps=1e-5, impl="pallas", sync="pack")
+    assert straight.iters == 199  # == the serial oracle
+
+    # split at a multiple of every window depth so the returned field has
+    # run exactly the reported number of sweeps
+    part1 = solve_dist(prob, cm, "sor2sma", omega=1.5, itr_max=48,
+                       eps=1e-5, impl="pallas", sync="pack")
+    assert part1.iters == 48
+    p = tmp_path / "ck_sharded.npz"
+    checkpoint.save(
+        p, part1.x, solver="sor2sma", iters=part1.iters, res=part1.res,
+        omega=1.5, eps=1e-5, history=part1.history,
+    )
+    part2 = checkpoint.resume_dist(
+        prob, cm, checkpoint.load(p), itr_max=2000, impl="pallas",
+        sync="pack",
+    )
+    assert part1.iters + part2.iters == straight.iters
+    np.testing.assert_array_equal(
+        np.asarray(part2.x), np.asarray(straight.x)
+    )
