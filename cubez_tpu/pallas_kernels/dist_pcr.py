@@ -27,6 +27,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.tdma import num_stage
+from .lines import batched_solve_const, batched_solve_maf
 from .pcr import R6, _pcr_solve_var, _roll, choose_it
 from .sweeps import _round_up
 
@@ -51,10 +52,12 @@ def unpad_line_block(xp, block_shape):
 
 
 def _dist_pcr_kernel(
-    offs_ref, xp_ref, bp_ref, tki_ref, tkj_ref, tkk_ref, out_ref, r2_ref,
+    offs_ref, xp_ref, bp_ref, tki_ref, tkj_ref, tkk_ref,
+    m1_ref, m2_ref, mu_ref,
+    out_ref, r2_ref,
     xs, bs, outs, in_sems, b_sems, out_sems,
     *, gshape, lk, li, lj, Kp, Jp, it, omega, offset, color, b_is_zero, pn,
-    maf
+    maf, fastdiag, wzm0, wzpn
 ):
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -102,7 +105,12 @@ def _dist_pcr_kernel(
 
     xv = xs[slot]  # (it+2, Kp, Jp)
     xc = xv[1:-1]
-    xline = xc[:, :n, :]  # line extent: ghost, lk locals, ghost
+    # fastdiag solves over the full padded sublane extent (the dense
+    # inverse/eigenbasis tables are zero outside the interior rows, so
+    # pad rows cannot pollute the matmul); PCR recurs over the true
+    # line extent only
+    span = Kp if fastdiag else n
+    xline = xc[:, :span, :]  # line extent: ghost, lk locals, ghost[, pad]
 
     k0g = offs_ref[0, 0]
     i0g = offs_ref[0, 1]
@@ -122,58 +130,96 @@ def _dist_pcr_kernel(
     par = jax.lax.rem(
         gi + gj + jnp.asarray(offset + 4, jnp.int32), jnp.asarray(2, jnp.int32)
     )
-    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, n, 1), 1)
+    kidx = jax.lax.broadcasted_iota(jnp.int32, (1, span, 1), 1)
     gk = kidx - 1 + k0g  # line row 0 is the low ghost (global k0g-1)
     inner_k = (kidx >= 1) & (kidx <= lk) & (gk >= 1) & (gk <= Kg - 2)
     m = line_ok & inner_k  # rows that get the stencil equation
 
     zero = jnp.zeros((), dtype)
     r6 = jnp.asarray(R6, dtype)
+    half = jnp.asarray(0.5, dtype)
     if maf:
         # variable (MAF) block-local tridiagonal: per-block metric tables
         # arrive pre-sliced from the shard_map body (block offsets are
         # traced there); math mirrors parallel/dist.py line_solve_maf
-        # (cz_maf.f90:519-572 normalized by dw)
+        # (cz_maf.f90:519-572 normalized by dw).  The fastdiag form keeps
+        # the serial rblines normalization instead (no dw; the
+        # eigen-tables absorb it).
         ti = tki_ref[pl.ds(t * it + 1, it)]  # (it, 2, Jp): c1, c7 per line
         c1 = ti[:, 0:1, :]
         c7 = ti[:, 1:2, :]
         c2 = tkj_ref[0][None]  # (1, 1, Jp)
         c8 = tkj_ref[1][None]
-        c3 = tkk_ref[0][None, :n, :]  # (1, n, Jp) over the line extent
-        c9 = tkk_ref[1][None, :n, :]
-        half = jnp.asarray(0.5, dtype)
-        dw = half / (c1 + c2 + c3)
         trans = (
-            (c1 + half * c7) * xv[2:, :n, :]
-            + (c1 - half * c7) * xv[:-2, :n, :]
+            (c1 + half * c7) * xv[2:, :span, :]
+            + (c1 - half * c7) * xv[:-2, :span, :]
             + (c2 + half * c8) * _roll(xline, -1, 2)
             + (c2 - half * c8) * _roll(xline, 1, 2)
         )
-        if b_is_zero:
-            rhs = trans * dw
+        if fastdiag:
+            d = trans if b_is_zero else trans - bs[slot][:, :span, :]
+            # Dirichlet K-face folds (serial rblines convention): the
+            # wall rows gk=0 / gk=Kg-1 sit at line rows 1 / lk (K is
+            # unsplit in this mode)
+            d = d + jnp.where(
+                kidx == 2, jnp.asarray(wzm0, dtype) * xline[:, 1:2, :],
+                zero,
+            )
+            d = d + jnp.where(
+                kidx == lk - 1,
+                jnp.asarray(wzpn, dtype) * xline[:, lk : lk + 1, :], zero,
+            )
+            d = jnp.where(m, d, zero)
         else:
-            rhs = (trans - bs[slot][:, :n, :]) * dw
-        a = jnp.where(m, -(c3 - half * c9) * dw, zero)
-        c = jnp.where(m, -(c3 + half * c9) * dw, zero)
-        d = jnp.where(m, rhs, xline)
+            c3 = tkk_ref[0][None, :span, :]  # (1, n, Jp) line extent
+            c9 = tkk_ref[1][None, :span, :]
+            dw = half / (c1 + c2 + c3)
+            rhs = trans * dw if b_is_zero else (
+                (trans - bs[slot][:, :span, :]) * dw
+            )
+            a = jnp.where(m, -(c3 - half * c9) * dw, zero)
+            c = jnp.where(m, -(c3 + half * c9) * dw, zero)
+            d = jnp.where(m, rhs, xline)
     else:
         trans = (
-            xv[2:, :n, :]
-            + xv[:-2, :n, :]
+            xv[2:, :span, :]
+            + xv[:-2, :span, :]
             + _roll(xline, -1, 2)
             + _roll(xline, 1, 2)
         )
         if b_is_zero:
             rhs = trans * r6
         else:
-            rhs = (trans - bs[slot][:, :n, :]) * r6
-        # identity equations (x = current value) on every non-stencil row:
-        # ghosts, physical-boundary rows, and non-line columns
-        a = jnp.where(m, -r6, zero)
-        c = jnp.where(m, -r6, zero)
-        d = jnp.where(m, rhs, xline)
+            rhs = (trans - bs[slot][:, :span, :]) * r6
+        if fastdiag:
+            rhs = rhs + jnp.where(
+                kidx == 2, xline[:, 1:2, :] * r6, zero
+            )
+            rhs = rhs + jnp.where(
+                kidx == lk - 1, xline[:, lk : lk + 1, :] * r6, zero
+            )
+            d = jnp.where(m, rhs, zero)
+        else:
+            # identity equations (x = current value) on every non-stencil
+            # row: ghosts, physical-boundary rows, and non-line columns
+            a = jnp.where(m, -r6, zero)
+            c = jnp.where(m, -r6, zero)
+            d = jnp.where(m, rhs, xline)
 
-    sol = _pcr_solve_var(a, c, d, pn)
+    if fastdiag:
+        if maf:
+            # lambda(i, j) = 2 (c1_i + c2_j) — separable, so it comes
+            # straight from the per-block metric rows/lanes already
+            # in VMEM (fastdiag.maf_lambda_table semantics)
+            lam_t = 2.0 * (c1 + c2)  # (it, 1, Jp)
+            sol = batched_solve_maf(
+                m1_ref[:], m2_ref[:], mu_ref[:],
+                [lam_t[r] for r in range(it)], d, Jp, dtype,
+            )
+        else:
+            sol = batched_solve_const(m1_ref[:], d, Jp, dtype)
+    else:
+        sol = _pcr_solve_var(a, c, d, pn)
 
     upd = m if color is None else m & (par == color)
     dp = jnp.where(upd, (sol - xline) * omega, zero)
@@ -188,8 +234,12 @@ def _dist_pcr_kernel(
     def _():
         out_dma(slot, t - 2).wait()
 
-    # pass pad K-sublanes through unchanged
-    outs[slot] = jnp.concatenate([xline + dp, xc[:, n:, :]], axis=1)
+    # pass pad K-sublanes through unchanged (fastdiag spans them already,
+    # with masked-zero dp there)
+    if fastdiag:
+        outs[slot] = xline + dp
+    else:
+        outs[slot] = jnp.concatenate([xline + dp, xc[:, n:, :]], axis=1)
     out_dma(slot, t).start()
 
     dpf = dp.astype(jnp.float32)
@@ -215,6 +265,8 @@ def make_block_pcr(
     it: int | None = None,
     b_is_zero: bool = False,
     maf: bool = False,
+    mc=None,
+    solver: str = "pcr",
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
@@ -228,12 +280,29 @@ def make_block_pcr(
     tki (li+2, 2, Jp) c1/c7 rows, tkj (2, 1, Jp) c2/c8 lanes,
     tkk (2, Kp, Jp) c3/c9 over the ghost-extended line extent.
 
-    PCR depth is num_stage(lk+2) — the local line plus its identity ghost
-    rows, matching parallel/dist.py's jnp line_solve bit-for-bit.
+    ``solver``: 'pcr' runs the variable-coefficient PCR stage recurrence
+    over the identity-extended local line (depth num_stage(lk+2), any
+    mesh — matches parallel/dist.py's jnp line_solve bit-for-bit).
+    'fastdiag' is the MXU production form for K-UNSPLIT meshes (lk must
+    equal the global K): every block's lines span the full K extent, so
+    the serial kernels' dense-inverse / fast-diagonalization solve
+    (lines.py / rblines.py, cz_solver.f90:497-662 semantics) applies per
+    block unchanged — one precomputed (Kp, Kp) eigen/inverse operand and
+    batched MXU matmuls replace the log2(n) stage rounds.  'fastdiag'
+    with maf requires ``mc`` (the global MafCoeffs) for the host-side
+    eigendecomposition.
     """
+    import numpy as np
+
+    from ..ops import fastdiag as fd_ops
+
     lk, li, lj = block_shape
     Ip, Kp, Jp = line_block_layout(block_shape)
     if lk < 1:
+        return None
+    fastdiag = solver == "fastdiag"
+    n_int = lk - 2
+    if fastdiag and (lk != gshape[0] or n_int < 2 or (maf and mc is None)):
         return None
     itemsize = jnp.dtype(dtype).itemsize
     if it is None:
@@ -242,6 +311,30 @@ def make_block_pcr(
         return None
     T = li // it
     pn = num_stage(lk + 2)
+
+    npdt = np.dtype(dtype)
+    dummy2 = jnp.zeros((8, 128), dtype)
+    wzm0 = wzpn = 0.0
+    m1 = m2 = mu_t = dummy2
+    if fastdiag:
+        # interior line system at sublane rows [2, lk): line row r holds
+        # global k = r - 1, interior k in [1, Kg-2]
+        def place(mat):
+            out = np.zeros((Kp, Kp), np.float64)
+            out[2:lk, 2:lk] = mat
+            return jnp.asarray(out.astype(npdt))
+
+        if maf:
+            V, Vi, mu = fd_ops.maf_line_diag(mc, n_int, np.float64)
+            m1 = place(V)
+            m2 = place(Vi)
+            mu_np = np.ones((Kp, Jp), np.float64)
+            mu_np[2:lk, :] = mu[:, None]
+            mu_t = jnp.asarray(mu_np.astype(npdt))
+            wzm, wzp, _d2, _li2, _lj2 = fd_ops.maf_line_coeffs(mc, n_int)
+            wzm0, wzpn = float(wzm[0]), float(wzp[-1])
+        else:
+            m1 = place(fd_ops.const_line_inverse(n_int, np.float64))
 
     kern = functools.partial(
         _dist_pcr_kernel,
@@ -258,6 +351,9 @@ def make_block_pcr(
         b_is_zero=bool(b_is_zero),
         pn=pn,
         maf=maf,
+        fastdiag=fastdiag,
+        wzm0=wzm0,
+        wzpn=wzpn,
     )
 
     call = pl.pallas_call(
@@ -267,6 +363,9 @@ def make_block_pcr(
             pl.BlockSpec((1, 3), lambda t: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -288,7 +387,12 @@ def make_block_pcr(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=int((6 + 42 * (pn - 1) + 21) * lk * li * lj),
+            flops=(
+                int(2 * Kp * Kp * Jp) * it * (2 if maf else 1) * T
+                + 20 * lk * li * lj
+            )
+            if fastdiag
+            else int((6 + 42 * (pn - 1) + 21) * lk * li * lj),
             bytes_accessed=(2 if b_is_zero else 3) * Ip * Kp * Jp * itemsize,
             transcendentals=0,
         ),
@@ -310,8 +414,10 @@ def make_block_pcr(
             _dti if tki is None else tki,
             _dtj if tkj is None else tkj,
             _dtk if tkk is None else tkk,
+            m1, m2, mu_t,
         )
         return out, r2[0, 0]
 
     sweep.it = it
+    sweep.solver = solver
     return sweep

@@ -372,13 +372,29 @@ def make_dist_fused_step(
     line = kind in ("pcr", "pcr_rb")
     if line:
         refresh = _refresh_ghosts_line
+
+        # K-unsplit meshes dispatch the block-local line solve through
+        # the MXU fast-diagonalization form (the serial production
+        # kernels' solve, lines.py/rblines.py) — block lines span the
+        # full K extent so the dense eigen/inverse tables apply per
+        # block unchanged; K-split meshes keep the identity-extended
+        # PCR recurrence
+        def _mk_line(c):
+            s = None
+            if cmesh.div[0] == 1:
+                s = make_block_pcr(
+                    bs, gshape, g.dtype, color=c, maf=maf, mc=mc,
+                    solver="fastdiag", **kw,
+                )
+            if s is None:
+                s = make_block_pcr(bs, gshape, g.dtype, color=c, maf=maf,
+                                   **kw)
+            return s
+
         if kind == "pcr_rb":
-            sweeps = [
-                make_block_pcr(bs, gshape, g.dtype, color=c, maf=maf, **kw)
-                for c in (0, 1)
-            ]
+            sweeps = [_mk_line(c) for c in (0, 1)]
         else:
-            sweeps = [make_block_pcr(bs, gshape, g.dtype, maf=maf, **kw)]
+            sweeps = [_mk_line(None)]
     else:
         if maf:
             return None  # MAF point sweeps: explicit jnp dist step covers

@@ -309,3 +309,77 @@ def test_solve_dist_overlap_iteration_count_exact():
     r = solve_dist(prob, cm, "sor2sma", omega=1.5, itr_max=2000, eps=1e-5,
                    impl="pallas", sync="overlap")
     assert r.iters == 199, r.iters
+
+
+class TestDistLineFastdiag:
+    """K-unsplit meshes dispatch block-local line solves through the MXU
+    fast-diagonalization form (serial lines.py/rblines.py solve per
+    block); K-split meshes keep the identity-extended PCR recurrence."""
+
+    def _prob(self, maf):
+        return Problem.poisson_cube(32, dtype=jnp.float32, maf=maf)
+
+    @pytest.mark.parametrize("maf", [False, True])
+    def test_fastdiag_builder_selects(self, maf):
+        from cubez_tpu.pallas_kernels.dist_pcr import make_block_pcr
+
+        prob = self._prob(maf)
+        s = make_block_pcr(
+            (32, 16, 16), (32, 32, 32), jnp.float32, omega=1.5, color=0,
+            maf=maf, mc=prob.mc, solver="fastdiag", interpret=True,
+        )
+        assert s is not None and s.solver == "fastdiag"
+        # K-split block extents must refuse the fastdiag form
+        s2 = make_block_pcr(
+            (16, 16, 16), (32, 32, 32), jnp.float32, omega=1.5, color=0,
+            maf=maf, mc=prob.mc, solver="fastdiag", interpret=True,
+        )
+        assert s2 is None
+
+    @pytest.mark.parametrize("maf", [False, True])
+    def test_fastdiag_sweep_matches_pcr_sweep(self, maf):
+        """One fastdiag color sweep == the PCR-stage sweep on the same
+        K-unsplit block state (same system, different solve algorithm —
+        agreement to solver roundoff)."""
+        from cubez_tpu.parallel import dist_fused
+
+        prob = self._prob(maf)
+        cm = make_mesh((32, 32, 32), devices=cpu8(), div=(1, 2, 4))
+        # force both forms by building two steps: the dispatch picks
+        # fastdiag on this mesh; a (2,2,2)-style PCR form is built by
+        # calling make_block_pcr directly inside the jnp reference below
+        step_fd = dist_fused.make_dist_fused_step(
+            prob, cm, "pcr_rb", 1.5, sync="color"
+        )
+        from cubez_tpu.parallel.dist import make_dist_step
+
+        step_ref = make_dist_step(prob, cm, "pcr_rb_maf" if maf else
+                                  "pcr_rb", 1.5)
+        xs = dist_fused.to_line_block_state(cm, prob.x0)
+        bs = dist_fused.to_line_block_state(cm, prob.rhs)
+        xj, bj = cm.shard(prob.x0), cm.shard(prob.rhs)
+        for _ in range(2):
+            xs, r2f = step_fd(xs, bs)
+            xj, r2j = step_ref(xj, bj)
+        back = dist_fused.from_line_block_state(
+            cm, xs, prob.grid.shape_kij
+        )
+        assert float(jnp.max(jnp.abs(back - xj))) < 5e-6
+        np.testing.assert_allclose(float(r2f), float(r2j), rtol=1e-4)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("maf", [False, True])
+    def test_fastdiag_count_equals_serial(self, maf):
+        """To-tolerance dist line solve on a K-unsplit mesh reproduces
+        the SERIAL count exactly (lines are global, reference
+        cz_solver.f90:497-662 semantics per block)."""
+        from cubez_tpu import solve
+        from cubez_tpu.parallel.api import solve_dist
+
+        prob = self._prob(maf)
+        name = "pcr_rb_maf" if maf else "pcr_rb"
+        rs = solve(prob, name, omega=1.5, itr_max=2000, impl="jnp")
+        cm = make_mesh((32, 32, 32), devices=cpu8(), div=(1, 2, 4))
+        rd = solve_dist(prob, cm, name, omega=1.5, itr_max=2000,
+                        impl="pallas")
+        assert rd.iters == rs.iters, (rd.iters, rs.iters)
