@@ -264,14 +264,36 @@ EVIDENCE = """
 * **pbicgstab+sor2sma 256^3 f64 (CPU x64, impl=jnp): 38 iterations, res
   2.59e-06** — exactly the f64 serial oracle's 38
   (`tests/ref_histories/f64_pbicgstab_sor2sma_256_w1.1.txt`).
-* **Large-grid f32 iteration deltas vs the oracle (+0.3% @256^3, +7% @512^3)
-  are framework-wide f32 rounding, not a kernel artifact**: the portable XLA
-  path (impl=jnp, CPU) also takes 4236 iterations at 256^3 — identical to
-  the fused TPU kernel, versus the sequential oracle's 4224.  Near eps the
-  residual decays ~0.2%/iter at these sizes, so ulp-level divergence between
-  vectorized simultaneous updates and the oracle's in-place loop moves the
-  crossing by O(10) iterations; in f64 the counts match exactly (see the
-  f64 rows above and tests/test_ref_parity.py).
+* **Large-grid f32 iteration deltas vs the oracle (+12 @256^3, +398 @512^3)
+  are pinned, with data, on f32 FIELD-trajectory rounding — and our
+  trajectory is the one that tracks the true (f64) count.**  The full
+  512^3 cross-check (r5, on-device):
+  - *Framework-consistent*: impl=jnp on the TPU takes **5787** iterations
+    at 512^3 — identical to the fused production kernel's 5787 (as at
+    256^3, where both take 4236).
+  - *Residual accumulation exonerated*: re-running the fused fields with
+    the residual computed three other ways — per-K-plane partial sums
+    (pairwise outer), one-shot full f32 reduce over dp^2, and a
+    numpy-float64 ground truth at the near-threshold state — gives the
+    SAME 5787.  Measured accumulation errors at the threshold state:
+    kernel per-tile partials 2.8e-6 relative, full-f32 1.3e-7, plane
+    1.0e-8 — all orders of magnitude under the ~2e-4/iteration residual
+    decay, i.e. worth <0.02 iterations.  (The reference's
+    double-accumulator, cz_solver.f90:214, defends against a sequential-
+    sum error mode XLA's tree reductions never had.)
+  - *The oracle's own f64 runs side with us*: serial-oracle f64 counts
+    (r5, `/tmp ref_oracle --fp64`): **4235 @256^3** and **5781 @512^3**.
+    Our f32 counts are 4236 (+1) and 5787 (+6, +0.1%); the oracle's f32
+    counts are 4224 (-11) and 5389 (**-392, -6.8% under its own f64**).
+    And our framework at f64 reproduces the oracle's f64 exactly: 4235
+    @256^3 (impl=jnp, x64).  So the framework's simultaneous-update f32
+    arithmetic tracks the true convergence to 0.1% at 512^3, while the
+    oracle's serial in-place f32 loop crosses the threshold ~400
+    iterations early — the "drift" is the reference's f32 under-
+    iteration, not ours.  The same reading applies to
+    pbicgstab+sor2sma 256^3 f32 (44 vs oracle-f32 42, while the f64
+    counts match exactly at 38): near eps these counts are f32
+    trajectory noise, not a solver difference.
 
 ## Multigrid device cost (the loop column is unreliable for 2-6-iteration solves)
 
@@ -305,6 +327,36 @@ Its one-shot err_max IS the true discretization error (3.6e-5 at 128^3,
 err_max at eps=1e-5 is algebraic-error dominated (mg leaves 3.5e-4,
 sor2sma 1.5e-2 at 128^3): solver accuracy comparisons at fixed eps
 measure the stopping rule, not the discretization.
+
+## MAF point-sweep temporal blocking (guard band lifted, r5)
+
+The per-k resident table's guard band was widened 8 -> 16 rows, admitting
+n <= 7 MAF window chains (rbpack._pair_setup); measured on v5e with the
+distinct-starts difference harness (us/iter):
+
+| kernel | 128^3 | 256^3 |
+|---|---|---|
+| maf single | 26.1 | 256.4 |
+| maf pair (2x) | 24.9 | 172.5 |
+| maf 3x | 26.3 | 209.7 (kt=8) |
+| maf 4x | 25.9 | 178.3 |
+| maf 6x | 39.2 | no tiling |
+
+The MAF pair update is VPU-bound: blocking past n=2 buys nothing
+(n=3/4 flat within noise) and n=6 regresses (window-chain VMEM pressure
+forces small kt).  The production dispatch therefore keeps MAF on the
+pair (fused_cache.py); the deeper windows remain available and
+parity-tested (tests/test_sweeps2x.py n=3/4/6 on stretched metrics).
+
+## Distributed production path (r5)
+
+The multi-chip relaxation path now runs the serial production kernels
+per block with communication-avoiding temporal blocking, and the line
+solvers dispatch MXU fast-diagonalization on K-unsplit meshes —
+per-chip rates, exchange payloads, and the honest config-5 ICI
+projection are in SCALING.md ("Per-chip production rates").  Iteration
+counts on any mesh equal the serial oracle exactly (owned cells are
+bitwise the serial kernel's; tests/test_dist_pack.py, dryrun).
 
 ## Line-kernel rooflines (which resource binds; scripts/roofline_lines.py)
 

@@ -87,11 +87,14 @@ def main():
         nk, ni, nj = gshape
         prob = Problem.poisson_cube((ni, nj, nk), dtype=jnp.float32)
         cells = nk * ni * nj
+        # the long-minus-short difference must dwarf the tunnel's +-3 ms
+        # jitter: small grids need thousands of sweeps per call
+        short, long_ = (500, 4000) if cells <= 128**3 * 2 else (60, 480)
         if split is None:
             s = get_fused_step("sor2sma", prob.grid, 1.5, None, False,
                                b_is_zero=True)
             per = measure(s, s.pad(prob.x0), s.pad(prob.rhs),
-                          getattr(s, "iters_per_call", 1))
+                          getattr(s, "iters_per_call", 1), short, long_)
             print(f"{label}: ipc={getattr(s, 'iters_per_call', 1)} "
                   f"{per*1e6:.1f} us/iter {cells/per/1e9:.1f} Gcells/s")
             continue
@@ -103,7 +106,7 @@ def main():
             continue
         xs = dist_pack.to_packed_state(cm, prob.x0, st.hs)
         bs = dist_pack.to_packed_state(cm, prob.rhs, st.hs)
-        per = measure(st, xs, bs, st.iters_per_call)
+        per = measure(st, xs, bs, st.iters_per_call, short, long_)
         n = st.iters_per_call
         # analytic exchange payload per window (both directions, split
         # axes only; verbatim packed slabs)
@@ -136,7 +139,7 @@ def main():
     cm = make_mesh((N, N, N), devices=jax.devices()[:1], div=(1, 1, 1))
     s = get_fused_step("pcr_rb", prob.grid, 1.5, None, False,
                        b_is_zero=True)
-    per = measure(s, s.pad(prob.x0), s.pad(prob.rhs), 1, 100, 700)
+    per = measure(s, s.pad(prob.x0), s.pad(prob.rhs), 1, 200, 1600)
     print(f"\nserial rblines 128^3: {per*1e6:.0f} us/iter "
           f"{N**3/per/1e9:.1f} Gcells/s")
     for solver in ("fastdiag", "pcr"):
@@ -163,7 +166,7 @@ def main():
                        out_specs=(FIELD_SPEC, P()), check_vma=False)
         xs = dist_fused.to_line_block_state(cm, prob.x0)
         bs = dist_fused.to_line_block_state(cm, prob.rhs)
-        per = measure(lambda x, b, fn=fn: fn(x, b), xs, bs, 1, 40, 200)
+        per = measure(lambda x, b, fn=fn: fn(x, b), xs, bs, 1, 40, 280)
         print(f"dist line {solver} 128^3 block: {per*1e6:.0f} us/iter "
               f"{N**3/per/1e9:.1f} Gcells/s")
 
