@@ -64,7 +64,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .rbpack import _pair_update, pack_rb, unpack_rb
+from .rbpack import _pair_update, _pair_update_maf, pack_rb, unpack_rb
 from .sweeps import _round_up
 
 
@@ -182,6 +182,120 @@ def _dist_rb_pair_packed(
     )
 
 
+def _dist_rb_pair_packed_maf(
+    xv, k0_mid, bv, offs_ref, ti_ref, tk_ref,
+    *, hs, block_shape, gshape, I2e, Je, I2ep, Jep, offset, omega, dtype
+):
+    """MAF variant of :func:`_dist_rb_pair_packed`: per-block metric
+    tables arrive as dynamic VMEM operands (sliced from replicated
+    global tables in the shard_map body — block offsets are traced
+    there).  ti: (8, I2ep, Jep) resident even/odd-split I/J weights in
+    extended-local coordinates (rbpack._pair_update_maf layout);
+    tk: (Ke + kt + 32, 4, Jep) per-k rows [wzm, wzp, c3] with the
+    16-row guard band (extended row r holds el_k = r - 16, admitting
+    window k0_mid >= -16, i.e. n <= 7)."""
+    del bv  # zero-RHS configuration
+    rows = xv.shape[0]
+    Rv = xv[:, 0:I2ep]
+    Bv = xv[:, I2ep : 2 * I2ep]
+    kw = dict(hs=hs, block_shape=block_shape, gshape=gshape, I2e=I2e, Je=Je,
+              I2ep=I2ep, Jep=Jep)
+    ti = ti_ref[:]
+    wz = tk_ref[pl.ds(k0_mid + 16, rows - 2), :, :]
+    mR, selR = _dist_parity_masks(
+        rows - 2, k0_mid, offset, offs_ref=offs_ref, color=0, **kw
+    )
+    Rn, dpR = _pair_update_maf(
+        Rv[1:-1], Bv, None, mR, selR, ti, wz, omega, dtype
+    )
+    mB, selB = _dist_parity_masks(
+        rows - 4, k0_mid + 1, offset, offs_ref=offs_ref, color=1, **kw
+    )
+    Bn, dpB = _pair_update_maf(
+        Bv[2:-2], Rn, None, mB, selB, ti, wz[1:-1], omega, dtype
+    )
+    own = _owned_mask(rows - 4, k0_mid + 1, hs, block_shape, I2ep, Jep)
+    z = jnp.zeros((), jnp.float32)
+    dpc = jnp.where(own, dpR[1:-1].astype(jnp.float32), z)
+    dbf = jnp.where(own, dpB.astype(jnp.float32), z)
+    return (
+        jnp.concatenate([Rn[1:-1], Bn], axis=1),
+        jnp.sum(dpc * dpc),
+        jnp.sum(dbf * dbf),
+    )
+
+
+def _maf_global_tables(mc, gshape, hs, kt, Jep, dtype):
+    """Host-side GLOBAL metric tables in extended coordinates, from which
+    every block dynamic-slices its ti/tk operands (see
+    _dist_rb_pair_packed_maf).  Guard entries (out-of-domain ring, tile
+    pads, window guard band) are 1.0 — finite dd, and their products
+    only ever feed masked updates.
+
+    Conventions (mirroring rbpack._maf_tables, shifted to extended
+    frames with even origins/depths so parity folds are uniform):
+    * ti_g (8, I2G, JG): row r of the E half holds physical global
+      i = 2*(r - hx/2) ... i.e. the block at owned origin i0 slices rows
+      [i0/2, i0/2 + I2ep) and lanes [j0, j0 + Jep), giving its
+      extended-local (i2, el_j) tables directly.
+    * tk_g (QG, 4, Jep): row q holds global k = q - 16 - hz + k0-slice
+      origin; the block slices rows [k0, k0 + Ke + kt + 32).
+    """
+    import numpy as np
+
+    Kg, Ig, Jg = gshape
+    hz, hx, hy = hs
+    npdt = np.dtype(dtype)
+    half = npdt.type(0.5)
+
+    # extended-global I axis: giT = gi + hx in [0, Ig + 2hx), plus slack
+    # rows so the LAST block's I2ep tile pad stays in range
+    I2G = (Ig + 2 * hx) // 2 + 8
+    JG = Jg + 2 * hy + Jep  # lane slack for the last block's tile pad
+    c1x = np.ones(2 * I2G, npdt)
+    c7x = np.zeros(2 * I2G, npdt)
+    c1x[hx : hx + Ig] = np.asarray(mc.c1, npdt).reshape(-1)[:Ig]
+    c7x[hx : hx + Ig] = np.asarray(mc.c7, npdt).reshape(-1)[:Ig]
+    c2x = np.ones(JG, npdt)
+    c8x = np.zeros(JG, npdt)
+    c2x[hy : hy + Jg] = np.asarray(mc.c2, npdt).reshape(-1)[:Jg]
+    c8x[hy : hy + Jg] = np.asarray(mc.c8, npdt).reshape(-1)[:Jg]
+    wxp = c1x + half * c7x
+    wxm = c1x - half * c7x
+
+    def bi(v):  # (I2G,) -> (I2G, JG)
+        return np.broadcast_to(v[:, None], (I2G, JG))
+
+    def bj(v):  # (JG,) -> (I2G, JG)
+        return np.broadcast_to(v[None, :], (I2G, JG))
+
+    ti_g = np.stack(
+        [
+            bi(wxp[0::2]),
+            bi(wxp[1::2]),
+            bi(wxm[0::2]),
+            bi(wxm[1::2]),
+            c1x[0::2][:, None] + c2x[None, :],
+            c1x[1::2][:, None] + c2x[None, :],
+            bj(c2x + half * c8x),
+            bj(c2x - half * c8x),
+        ]
+    )
+
+    # extended-global K axis with the 16-row guard band: global row q
+    # holds gk = q - 16 - hz relative to the slicing convention (block
+    # start row = k0); sized so the last block's slice fits exactly
+    QG = Kg + 2 * hz + kt + 32
+    c3 = np.asarray(mc.c3, npdt).reshape(-1)[:Kg]
+    c9 = np.asarray(mc.c9, npdt).reshape(-1)[:Kg]
+    tk_g = np.ones((QG, 4, Jep), npdt)
+    q0 = 16 + hz  # row of gk = 0
+    tk_g[q0 : q0 + Kg, 0, :] = (c3 - half * c9)[:, None]
+    tk_g[q0 : q0 + Kg, 1, :] = (c3 + half * c9)[:, None]
+    tk_g[q0 : q0 + Kg, 2, :] = c3[:, None]
+    return jnp.asarray(ti_g), jnp.asarray(tk_g)
+
+
 def make_dist_packed_sweepnx(
     block_shape,
     gshape,
@@ -192,23 +306,29 @@ def make_dist_packed_sweepnx(
     split=(True, True, True),
     offset: int = 0,
     kt: int | None = None,
+    mc=None,
     vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ):
-    """Build ``kernel(xp, offs) -> (xp_new, r2_vec)``: ``n`` full packed
-    RB iterations over one extended block (ghost depth 2n on each axis
-    whose ``split`` flag is set — unsplit axes carry no ghosts), owned
-    residual partials as an (n,) vector.  ``offs`` is the (1, 3) int32
-    owned-origin (k0, i0, j0) — traced, from lax.axis_index.  Zero inner
-    RHS, constant coefficients, f32 (the headline configuration).  None
-    when the layout or a viable K tiling does not exist."""
+    """Build ``kernel(xp, offs[, ti, tk]) -> (xp_new, r2_vec)``: ``n``
+    full packed RB iterations over one extended block (ghost depth 2n on
+    each axis whose ``split`` flag is set — unsplit axes carry no
+    ghosts), owned residual partials as an (n,) vector.  ``offs`` is the
+    (1, 3) int32 owned-origin (k0, i0, j0) — traced, from
+    lax.axis_index.  Zero inner RHS, f32 (the headline configuration).
+    ``mc`` (a MafCoeffs) switches to the variable-coefficient MAF
+    update: the per-block metric tables are dynamic VMEM operands built
+    by ``kernel.block_tables(k0, i0, j0)`` (dynamic slices of replicated
+    global tables — call it in the shard_map body).  None when the
+    layout or a viable K tiling does not exist."""
     from . import sweeps2x
 
     lk, li, lj = block_shape
     h = 2 * n
     hs = tuple(h if s else 0 for s in split)
+    maf = mc is not None
     if (
-        n < 2 or n > 9
+        n < 2 or n > 9 or (maf and n > 7)  # tk guard band covers n <= 7
         or lk % 2 or li % 2 or lj % 2
         # exchange sources must be owned cells (depth-h slabs per face)
         or any(g > dim for g, dim in zip(hs, block_shape))
@@ -217,6 +337,12 @@ def make_dist_packed_sweepnx(
     Ke, Ie, Je, I2e, I2ep, Jep = ext_dims(block_shape, hs)
     IPP = 2 * I2ep
     itemsize = jnp.dtype(dtype).itemsize
+
+    def _table_bytes(cand):
+        if not maf:
+            return 0
+        return (8 * I2ep + 4 * (Ke + cand + 32)) * Jep * itemsize
+
     if kt is None:
         row = IPP * Jep * itemsize
         kt = None
@@ -229,7 +355,7 @@ def make_dist_packed_sweepnx(
                 if Ke % cand:
                     continue
                 rows = 2 * (n + 1) * (cand + 4) + 2 * cand + 4 * (cand + 2)
-                if rows * row <= budget:
+                if rows * row <= budget - _table_bytes(cand):
                     kt = cand
             if kt is not None:
                 vmem_limit_bytes = limit
@@ -239,29 +365,57 @@ def make_dist_packed_sweepnx(
     if kt is None or Ke % kt or kt < max(8, 2 * n + 2):
         return None
 
-    pair_fn = functools.partial(
-        _dist_rb_pair_packed,
+    common = dict(
         hs=hs, block_shape=tuple(block_shape), gshape=tuple(gshape),
         I2e=I2e, Je=Je, I2ep=I2ep, Jep=Jep,
         offset=int(offset), omega=float(omega), dtype=dtype,
     )
+    if maf:
+        pair_fn = functools.partial(_dist_rb_pair_packed_maf, **common)
+        ti_g, tk_g = _maf_global_tables(mc, gshape, hs, kt, Jep, dtype)
+    else:
+        pair_fn = functools.partial(_dist_rb_pair_packed, **common)
     call = sweeps2x.build_nx(
         pair_fn, Ke, IPP, Jep, kt, dtype, n,
         # true per-block work includes the redundant ring (the cost model
         # feeds the scheduler); the roofline accounting uses owned cells
-        flops=n * 18 * Ke * Ie * Je,
+        flops=n * (33 if maf else 18) * Ke * Ie * Je,
         vmem_limit_bytes=vmem_limit_bytes, interpret=interpret,
         dyn_smem_shapes=((1, 3),),
+        dyn_vmem_count=2 if maf else 0,
     )
 
-    def kernel(xp, offs):
-        out, r2 = call(xp, offs)
-        r2 = r2.astype(jnp.float32)
-        return out, jnp.stack(
-            [jnp.sum(r2[:, 2 * i] + r2[:, 2 * i + 1]) for i in range(n)]
-        )
+    if maf:
+
+        def block_tables(k0, i0, j0):
+            z = jnp.zeros((), jnp.int32)
+            ti = jax.lax.dynamic_slice(
+                ti_g, (z, i0 // 2, j0), (8, I2ep, Jep)
+            )
+            tk = jax.lax.dynamic_slice(
+                tk_g, (k0, z, z), (Ke + kt + 32, 4, Jep)
+            )
+            return ti, tk
+
+        def kernel(xp, offs, ti, tk):
+            out, r2 = call(xp, offs, ti, tk)
+            r2 = r2.astype(jnp.float32)
+            return out, jnp.stack(
+                [jnp.sum(r2[:, 2 * i] + r2[:, 2 * i + 1]) for i in range(n)]
+            )
+
+        kernel.block_tables = block_tables
+    else:
+
+        def kernel(xp, offs):
+            out, r2 = call(xp, offs)
+            r2 = r2.astype(jnp.float32)
+            return out, jnp.stack(
+                [jnp.sum(r2[:, 2 * i] + r2[:, 2 * i + 1]) for i in range(n)]
+            )
 
     kernel.kt = kt
     kernel.hs = hs
+    kernel.maf = maf
     kernel.iters_per_call = n
     return kernel

@@ -446,7 +446,7 @@ def _sweepnx_kernel(
 
 
 def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
-             interpret, tables=(), dyn_smem_shapes=()):
+             interpret, tables=(), dyn_smem_shapes=(), dyn_vmem_count=0):
     """pallas_call for the n-iterations-per-pass pipeline over
     (K+4, IP, Jp) zero-RHS state (see _sweepnx_kernel).  Returns a callable
     ``xp -> (xp_new, r2)`` with r2 of shape (T+1, 2n) — per-tile partial
@@ -455,8 +455,10 @@ def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
     ``dyn_smem_shapes``: shapes of per-call dynamic scalar inputs (int32,
     SMEM) handed to pair_fn as refs BEFORE the resident ``tables`` — the
     distributed per-block form (dist_rbpack.py) passes its traced global
-    offsets this way.  With any, the returned callable takes
-    ``(xp, *dyn) -> (xp_new, r2)``."""
+    offsets this way.  ``dyn_vmem_count``: per-call dynamic whole-array
+    VMEM inputs after the SMEM ones (the distributed MAF metric tables,
+    dynamic-sliced per block in the shard_map body).  With any dynamic
+    inputs the returned callable takes ``(xp, *dyn) -> (xp_new, r2)``."""
     itemsize = jnp.dtype(dtype).itemsize
     T = K // kt
     if kt < max(8, 2 * n + 2) or K % kt:
@@ -464,7 +466,7 @@ def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
                          f"{max(8, 2 * n + 2)} and kt | K)")
     kern = functools.partial(
         _sweepnx_kernel, K=K, IP=IP, Jp=Jp, kt=kt, n=n, pair_fn=pair_fn,
-        n_tabs=len(dyn_smem_shapes) + len(tables),
+        n_tabs=len(dyn_smem_shapes) + dyn_vmem_count + len(tables),
     )
     scratch = [pltpu.VMEM((2, kt + 4, IP, Jp), dtype)]  # x0 slabs
     scratch += [
@@ -483,6 +485,10 @@ def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
             pl.BlockSpec(shp, (lambda t, _nd=len(shp): (0,) * _nd),
                          memory_space=pltpu.SMEM)
             for shp in dyn_smem_shapes
+        ]
+        + [
+            pl.BlockSpec(memory_space=pltpu.VMEM)
+            for _ in range(dyn_vmem_count)
         ]
         + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in tables],
         out_specs=(
@@ -508,7 +514,7 @@ def build_nx(pair_fn, K, IP, Jp, kt, dtype, n, *, flops, vmem_limit_bytes,
         input_output_aliases={0: 0},
         interpret=interpret,
     )
-    if dyn_smem_shapes:
+    if dyn_smem_shapes or dyn_vmem_count:
         return lambda xp, *dyn: inner(xp, *dyn, *tables)
     if not tables:
         return inner

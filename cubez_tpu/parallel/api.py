@@ -90,7 +90,9 @@ def solve_dist(
         (impl == "pallas" or (impl != "jnp" and on_tpu))
         and g.dtype == jnp.float32
         and kind in ("jacobi", "sor2sma", "pcr", "pcr_rb")
-        and (not is_maf or line)  # MAF line solvers fuse per block too
+        # MAF line solvers fuse per block; MAF sor2sma runs the packed
+        # production path (dist_pack) where it applies
+        and (not is_maf or line or kind == "sor2sma")
     )
 
     overlap = sync == "overlap"
@@ -100,7 +102,7 @@ def solve_dist(
     # temporal blocking, owned cells bitwise the serial production kernel
     if (
         use_fused and not overlap and sync in ("auto", "pack")
-        and kind == "sor2sma" and not is_maf
+        and kind == "sor2sma"
     ):
         from . import dist_pack
 

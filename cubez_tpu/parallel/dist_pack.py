@@ -140,14 +140,12 @@ def make_dist_packed_step(
     the deepest that fits (the serial production dispatch order).
     ``split`` overrides the per-axis ghost flags (default: derived from
     the mesh division; an override lets a 1-chip mesh run the exact
-    multi-chip layout for per-chip rate measurement).  None when the
-    configuration doesn't apply (dtype/MAF/RHS/odd blocks/no tiling)."""
+    multi-chip layout for per-chip rate measurement).  MAF problems run
+    the packed MAF update with per-block dynamic-sliced metric tables.
+    None when the configuration doesn't apply (dtype/RHS/odd blocks/no
+    tiling)."""
     g = problem.grid
-    if (
-        g.dtype != jnp.float32
-        or problem.mc is not None
-        or not problem.rhs_is_inner_zero()
-    ):
+    if g.dtype != jnp.float32 or not problem.rhs_is_inner_zero():
         return None
     bs = _block_shape(cmesh, g.shape_kij)
     lk, li, lj = bs
@@ -157,10 +155,13 @@ def make_dist_packed_step(
         interpret = jax.default_backend() != "tpu"
 
     kern = None
-    for nx in ([n] if n else [6, 4, 3, 2]):
+    # MAF pair update is VPU-bound (BENCH_RESULTS): prefer shallow windows
+    cand_n = [n] if n else ([2, 3, 4] if problem.mc is not None
+                            else [6, 4, 3, 2])
+    for nx in cand_n:
         kern = dist_rbpack.make_dist_packed_sweepnx(
             bs, g.shape_kij, g.dtype, omega=omega, n=nx, split=split,
-            offset=offset, interpret=interpret,
+            offset=offset, mc=problem.mc, interpret=interpret,
         )
         if kern is not None:
             break
@@ -171,15 +172,16 @@ def make_dist_packed_step(
 
     def body(xp, bp):
         del bp
-        offs = jnp.stack(
-            [
-                lax.axis_index("z").astype(jnp.int32) * lk,
-                lax.axis_index("x").astype(jnp.int32) * li,
-                lax.axis_index("y").astype(jnp.int32) * lj,
-            ]
-        ).reshape(1, 3)
+        k0 = lax.axis_index("z").astype(jnp.int32) * lk
+        i0 = lax.axis_index("x").astype(jnp.int32) * li
+        j0 = lax.axis_index("y").astype(jnp.int32) * lj
+        offs = jnp.stack([k0, i0, j0]).reshape(1, 3)
         xp = exchange_ghosts_packed(xp, bs, hs, I2e, I2ep)
-        xp, r2 = kern(xp, offs)
+        if kern.maf:
+            ti, tk = kern.block_tables(k0, i0, j0)
+            xp, r2 = kern(xp, offs, ti, tk)
+        else:
+            xp, r2 = kern(xp, offs)
         return xp, lax.psum(r2, AXES)
 
     fn = shard_map(

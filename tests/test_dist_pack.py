@@ -109,3 +109,53 @@ def test_solve_dist_pack_iteration_count_exact(div):
     r = solve_dist(prob, cm, "sor2sma", omega=1.5, itr_max=2000, eps=1e-5,
                    impl="pallas", sync="pack")
     assert r.iters == 199, r.iters
+
+
+@pytest.mark.parametrize("div", [(2, 2, 2), (1, 2, 4)])
+def test_dist_packed_maf_stretched_bitwise(div):
+    """MAF dist-packed on genuinely tanh-stretched metrics (k/i/j-varying
+    tables): pins the per-block dynamic table slicing in all three axes —
+    invisible on the uniform cube where the tables are constant."""
+    import dataclasses
+
+    prob0, _u = Problem.manufactured_stretched(16, dtype=jnp.float32)
+    # zero-RHS configuration (the pack path's contract); rough start so
+    # every window does real work
+    ramp = jnp.linspace(0.0, 1.0, 16, dtype=jnp.float32)[:, None, None]
+    prob = dataclasses.replace(
+        prob0,
+        x0=prob0.x0 + 0.3 * ramp * prob0.grid.inner_mask,
+        rhs=jnp.zeros_like(prob0.rhs),
+        rhs_inner_zero=True,
+    )
+    cm = _mesh(16, div)
+    step = dist_pack.make_dist_packed_step(prob, cm, 1.2, n=2)
+    assert step is not None
+    snx = rbpack.make_packed_sweepnx(
+        prob.grid.shape_kij, jnp.float32, omega=1.2, n=2, mc=prob.mc,
+        interpret=True,
+    )
+    assert snx is not None
+    xp, bp = snx.pad(prob.x0), snx.pad(prob.rhs)
+    xs = dist_pack.to_packed_state(cm, prob.x0, step.hs)
+    bs = dist_pack.to_packed_state(cm, prob.rhs, step.hs)
+    for _ in range(2):
+        xp, _ = snx(xp, bp)
+        xs, _ = step(xs, bs)
+    xser = np.asarray(snx.unpad(xp))
+    xdist = np.asarray(
+        dist_pack.from_packed_state(cm, xs, prob.grid.shape_kij, step.hs)
+    )
+    np.testing.assert_array_equal(xdist, xser)
+
+
+@pytest.mark.slow
+def test_solve_dist_pack_maf_iteration_count_exact():
+    """solve_dist(sor2sma_maf, sync='pack') == the serial oracle count."""
+    from cubez_tpu.parallel.api import solve_dist
+
+    prob = Problem.poisson_cube(32, dtype=jnp.float32, maf=True)
+    cm = _mesh(32, (2, 2, 2))
+    r = solve_dist(prob, cm, "sor2sma_maf", omega=1.5, itr_max=2000,
+                   eps=1e-5, impl="pallas", sync="pack")
+    assert r.iters == 199, r.iters
