@@ -409,7 +409,7 @@ def make_packed_sweep2x(
     kt: int | None = None,
     mc=None,
     b_is_zero: bool = True,
-    vmem_limit_bytes: int = 100 << 20,
+    vmem_limit_bytes: int | None = None,
     interpret: bool = False,
 ):
     """Two full packed RB iterations per HBM pass (rbpack layout).
@@ -441,9 +441,15 @@ def make_packed_sweep2x(
     if kt is None:
         kt = choose_kt(
             (K, IPP, Jp), itemsize, halo=16 if has_b else 8, kt_cap=32,
-            max_vmem_bytes=(64 << 20) - table_bytes,
+            max_vmem_bytes=min(64 << 20, vmem_limit_bytes or (64 << 20))
+            - table_bytes,
         )
-        if (kt is None or kt < 8) and K % 8 == 0:
+        if (
+            (kt is None or kt < 8) and K % 8 == 0
+            # an explicit caller limit is honored strictly; only the
+            # default (None) gets the raised kt=8 second pass
+            and vmem_limit_bytes is None
+        ):
             # Large grids: two iterations per HBM pass is worth the whole
             # VMEM budget (measured 512^3 on v5e: 131 vs 79 Gcells/s for
             # the single packed sweep).  kt=8 scratch is 2*(kt+4) x0 +
@@ -457,9 +463,11 @@ def make_packed_sweep2x(
             dma_rows = (8 * 8 + 28) if has_b else (6 * 8 + 16)
             if dma_rows * row <= (80 << 20):
                 kt = 8
-                vmem_limit_bytes = max(vmem_limit_bytes, 116 << 20)
+                vmem_limit_bytes = 116 << 20
     if kt is None or K % kt or kt < 8:
         return None
+    if vmem_limit_bytes is None:
+        vmem_limit_bytes = 100 << 20
 
     tables, pair_fn, flops1 = _pair_setup(shape, dtype, omega, offset, kt, mc)
     call = sweeps2x.build_2x(

@@ -61,6 +61,14 @@ _SLOW_TESTS = {
     "test_fmg_maf",
     "test_fastdiag_sweep_matches_pcr_sweep",
     "test_dist_packed_bitwise_vs_serial_packed",
+    # r5 additions re-tiered after a --durations pass (the six below are
+    # 11 of the fast tier's 17 minutes): overlap parity is covered
+    # to-tolerance by the dryrun + slow tier; the pack path keeps
+    # test_dist_packed_residuals_match_serial as its fast signal
+    "test_fused_overlap_matches_color_sync",
+    "test_fused_overlap_single_block_bitwise",
+    "test_sharded_checkpoint_resume_matches_straight",
+    "test_dist_packed_maf_stretched_bitwise",
 }
 
 
