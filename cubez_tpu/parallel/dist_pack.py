@@ -155,9 +155,16 @@ def make_dist_packed_step(
         interpret = jax.default_backend() != "tpu"
 
     kern = None
-    # MAF pair update is VPU-bound (BENCH_RESULTS): prefer shallow windows
+    # MAF pair update is VPU-bound (BENCH_RESULTS): prefer shallow windows.
+    # Const prefers the deepest window that sizes: measured v5e at a 256^3
+    # zx-split block, n=5 (kt=12) 165.6 us/iter vs n=4 (kt=17) 172.5 —
+    # plus one exchange per 5 iterations instead of 4 on a real mesh;
+    # n=6 (kt=14, raised 118-124 MB limits) REGRESSES to 211-215 us/iter
+    # (window-chain VMEM pressure forces the small kt), so the standard
+    # budgets' refusal of n=6 there is correct, not a limitation
+    # (scripts/exp_dist_n6.py).
     cand_n = [n] if n else ([2, 3, 4] if problem.mc is not None
-                            else [6, 4, 3, 2])
+                            else [6, 5, 4, 3, 2])
     for nx in cand_n:
         kern = dist_rbpack.make_dist_packed_sweepnx(
             bs, g.shape_kij, g.dtype, omega=omega, n=nx, split=split,

@@ -87,6 +87,34 @@ def test_dist_packed_residuals_match_serial():
     np.testing.assert_allclose(got, refs, rtol=2e-5)
 
 
+@pytest.mark.slow
+def test_dist_packed_odd_window_bitwise():
+    """Odd window depth (n=5, the 256^3-zx production choice: measured
+    165.6 us/iter vs n=4's 172.5, scripts/exp_dist_n6.py): owned cells
+    bitwise the serial n=5 chain.  Needs block dims >= hs=10, so 32^3
+    split z only."""
+    n = 32
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = _mesh(n, (2, 1, 1))
+    step = dist_pack.make_dist_packed_step(prob, cm, 1.5, n=5)
+    assert step is not None and step.iters_per_call == 5
+    snx = rbpack.make_packed_sweepnx(
+        prob.grid.shape_kij, jnp.float32, omega=1.5, n=5, interpret=True
+    )
+    assert snx is not None
+    xp, bp = snx.pad(prob.x0), snx.pad(prob.rhs)
+    xs = dist_pack.to_packed_state(cm, prob.x0, step.hs)
+    bs = dist_pack.to_packed_state(cm, prob.rhs, step.hs)
+    for _ in range(2):
+        xp, _ = snx(xp, bp)
+        xs, _ = step(xs, bs)
+    xser = np.asarray(snx.unpad(xp))
+    xdist = np.asarray(
+        dist_pack.from_packed_state(cm, xs, prob.grid.shape_kij, step.hs)
+    )
+    np.testing.assert_array_equal(xdist, xser)
+
+
 def test_dist_packed_rejects_thin_blocks():
     """Exchange sources must be owned cells: depth-4 slabs cannot come from
     2-row blocks."""
