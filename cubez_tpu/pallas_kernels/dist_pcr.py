@@ -32,23 +32,29 @@ from .pcr import R6, _pcr_solve_var, _roll, choose_it
 from .sweeps import _round_up
 
 
-def line_block_layout(block_shape):
-    """(lk, li, lj) -> per-block line state shape (li+2, lkp, ljp)."""
+def line_block_layout(block_shape, gj: int = 1):
+    """(lk, li, lj) -> per-block line state shape (li+2, lkp, ljp).
+
+    ``gj`` is the J ghost-lane count per side: 1 on Y-split meshes, 0 on
+    Y-unsplit meshes — there the wall columns themselves occupy lanes 0
+    and lj-1, and dropping the ghost lanes keeps ljp at the 128 multiple
+    of lj itself (128^3 blocks: 128 lanes instead of 256 — half the HBM
+    traffic and dense-solve width of the ghosted layout)."""
     lk, li, lj = block_shape
-    return (li + 2, _round_up(lk + 2, 8), _round_up(lj + 2, 128))
+    return (li + 2, _round_up(lk + 2, 8), _round_up(lj + 2 * gj, 128))
 
 
-def pad_line_block(xb):
+def pad_line_block(xb, gj: int = 1):
     """Local (lk, li, lj) block -> ghosted line state (li+2, lkp, ljp)."""
     lk, li, lj = xb.shape
-    _, kp, jp = line_block_layout(xb.shape)
+    _, kp, jp = line_block_layout(xb.shape, gj)
     t = xb.transpose(1, 0, 2)  # (li, lk, lj)
-    return jnp.pad(t, ((1, 1), (1, kp - lk - 1), (1, jp - lj - 1)))
+    return jnp.pad(t, ((1, 1), (1, kp - lk - 1), (gj, jp - lj - gj)))
 
 
-def unpad_line_block(xp, block_shape):
+def unpad_line_block(xp, block_shape, gj: int = 1):
     lk, li, lj = block_shape
-    return xp[1 : li + 1, 1 : lk + 1, 1 : lj + 1].transpose(1, 0, 2)
+    return xp[1 : li + 1, 1 : lk + 1, gj : lj + gj].transpose(1, 0, 2)
 
 
 def _dist_pcr_kernel(
@@ -57,7 +63,7 @@ def _dist_pcr_kernel(
     out_ref, r2_ref,
     xs, bs, outs, in_sems, b_sems, out_sems,
     *, gshape, lk, li, lj, Kp, Jp, it, omega, offset, color, b_is_zero, pn,
-    maf, fastdiag, wzm0, wzpn
+    maf, fastdiag, wzm0, wzpn, gjl
 ):
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -117,14 +123,18 @@ def _dist_pcr_kernel(
     j0g = offs_ref[0, 2]
 
     # update mask from global indices (ghost cols/lanes are never local);
-    # xc column ci maps to state row t*it + ci + 1, i.e. local i = t*it + ci
+    # xc column ci maps to state row t*it + ci + 1, i.e. local i = t*it + ci.
+    # Lane c holds local j = c - gjl (gjl=0: no J ghost lanes, wall columns
+    # in-state; the J rolls then wrap at the walls, but wall/pad lanes are
+    # masked out of line_ok so the wrapped values never enter an update)
     ci = jax.lax.broadcasted_iota(jnp.int32, (it, 1, Jp), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (it, 1, Jp), 2)
     li_idx = ci + (t * it)
     gi = li_idx + i0g
-    gj = cj - 1 + j0g
+    gj = cj - gjl + j0g
     line_ok = (
-        (li_idx >= 0) & (li_idx <= li - 1) & (cj >= 1) & (cj <= lj)
+        (li_idx >= 0) & (li_idx <= li - 1)
+        & (cj >= gjl) & (cj <= lj - 1 + gjl)
         & (gi >= 1) & (gi <= Ig - 2) & (gj >= 1) & (gj <= Jg - 2)
     )
     par = jax.lax.rem(
@@ -267,6 +277,7 @@ def make_block_pcr(
     maf: bool = False,
     mc=None,
     solver: str = "pcr",
+    gj: int = 1,
     vmem_limit_bytes: int = 100 << 20,
     interpret: bool = False,
 ):
@@ -291,13 +302,21 @@ def make_block_pcr(
     batched MXU matmuls replace the log2(n) stage rounds.  'fastdiag'
     with maf requires ``mc`` (the global MafCoeffs) for the host-side
     eigendecomposition.
+
+    ``gj``: J ghost-lane count per side (line_block_layout).  Pass 0 on
+    Y-unsplit meshes — the wall columns sit in-state and the lane extent
+    drops to the 128-multiple of lj itself (128-lane blocks keep 128
+    lanes instead of 256: half the HBM traffic and dense-solve width).
+    The caller's state must be packed with the same ``gj``
+    (pad_line_block / dist_fused.to_line_block_state derive it from the
+    mesh division).
     """
     import numpy as np
 
     from ..ops import fastdiag as fd_ops
 
     lk, li, lj = block_shape
-    Ip, Kp, Jp = line_block_layout(block_shape)
+    Ip, Kp, Jp = line_block_layout(block_shape, gj)
     if lk < 1:
         return None
     fastdiag = solver == "fastdiag"
@@ -354,6 +373,7 @@ def make_block_pcr(
         fastdiag=fastdiag,
         wzm0=wzm0,
         wzpn=wzpn,
+        gjl=int(gj),
     )
 
     call = pl.pallas_call(
@@ -420,4 +440,5 @@ def make_block_pcr(
 
     sweep.it = it
     sweep.solver = solver
+    sweep.gj = int(gj)
     return sweep

@@ -18,6 +18,8 @@ The jnp steps in parallel/dist.py remain as the portable/reference path.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax, shard_map
@@ -143,12 +145,21 @@ def _write_ghosts(xp, ghosts):
     return xp
 
 
+def _line_gj(cmesh: CubeMesh) -> int:
+    """J ghost-lane count for the line layout: 0 on Y-unsplit meshes (the
+    wall columns sit in-state; halves the lane extent of 128-lane blocks),
+    1 otherwise (dist_pcr.line_block_layout)."""
+    return 1 if cmesh.div[2] > 1 else 0
+
+
 def to_line_block_state(cmesh: CubeMesh, arr):
     """Global (K, I, J) array -> sharded ghosted line-layout block state
     (for the distributed fused line solvers)."""
     _block_shape(cmesh, arr.shape)
+    gj = _line_gj(cmesh)
     fn = shard_map(
-        pad_line_block, mesh=cmesh.mesh, in_specs=(FIELD_SPEC,),
+        lambda xb: pad_line_block(xb, gj),
+        mesh=cmesh.mesh, in_specs=(FIELD_SPEC,),
         out_specs=FIELD_SPEC,
     )
     return fn(cmesh.shard(arr))
@@ -156,8 +167,9 @@ def to_line_block_state(cmesh: CubeMesh, arr):
 
 def from_line_block_state(cmesh: CubeMesh, state, gshape):
     bs = _block_shape(cmesh, gshape)
+    gj = _line_gj(cmesh)
     fn = shard_map(
-        lambda xp: unpad_line_block(xp, bs),
+        lambda xp: unpad_line_block(xp, bs, gj),
         mesh=cmesh.mesh,
         in_specs=(FIELD_SPEC,),
         out_specs=FIELD_SPEC,
@@ -165,15 +177,19 @@ def from_line_block_state(cmesh: CubeMesh, state, gshape):
     return fn(state)
 
 
-def _refresh_ghosts_line(xp, block_shape):
+def _refresh_ghosts_line(xp, block_shape, gj: int = 1):
     """Ghost refresh for the line layout (li+2, Kp, Jp): I on the leading
-    axis, K on sublanes (ghosts at 1-based rows 0 / lk+1), J on lanes."""
+    axis, K on sublanes (ghosts at 1-based rows 0 / lk+1), J on lanes.
+    ``gj=0`` (Y-unsplit layout) carries no J ghost lanes — the J span is
+    skipped entirely (writing it would clobber the in-state wall
+    columns)."""
     lk, li, lj = block_shape
     spans = [
         (0, "x", 1, li, 0, li + 1),
         (1, "z", 1, lk, 0, lk + 1),
-        (2, "y", 1, lj, 0, lj + 1),
     ]
+    if gj:
+        spans.append((2, "y", 1, lj, 0, lj + 1))
     for ax, mesh_ax, lo_dat, hi_dat, lo_gst, hi_gst in spans:
         n = lax.axis_size(mesh_ax)
         idx = [slice(None)] * 3
@@ -371,7 +387,8 @@ def make_dist_fused_step(
     kw = dict(omega=omega, b_is_zero=b_is_zero, interpret=interpret)
     line = kind in ("pcr", "pcr_rb")
     if line:
-        refresh = _refresh_ghosts_line
+        gj = _line_gj(cmesh)
+        refresh = functools.partial(_refresh_ghosts_line, gj=gj)
 
         # K-unsplit meshes dispatch the block-local line solve through
         # the MXU fast-diagonalization form (the serial production
@@ -384,11 +401,11 @@ def make_dist_fused_step(
             if cmesh.div[0] == 1:
                 s = make_block_pcr(
                     bs, gshape, g.dtype, color=c, maf=maf, mc=mc,
-                    solver="fastdiag", **kw,
+                    solver="fastdiag", gj=gj, **kw,
                 )
             if s is None:
                 s = make_block_pcr(bs, gshape, g.dtype, color=c, maf=maf,
-                                   **kw)
+                                   gj=gj, **kw)
             return s
 
         if kind == "pcr_rb":
@@ -417,7 +434,7 @@ def make_dist_fused_step(
 
         from ..pallas_kernels.dist_pcr import line_block_layout
 
-        _, Kp, Jp = line_block_layout(bs)
+        _, Kp, Jp = line_block_layout(bs, gj)
         npdt = np.dtype(g.dtype)
         Kg, Ig, Jg = gshape
 
@@ -452,7 +469,11 @@ def make_dist_fused_step(
             i0 = lax.axis_index("x").astype(jnp.int32) * li
             j0 = lax.axis_index("y").astype(jnp.int32) * lj
             tki = lax.dynamic_slice(tki_g, (i0, z0, z0), (li + 2, 2, Jp))
-            tkj = lax.dynamic_slice(tkj_g, (z0, z0, j0), (2, 1, Jp))
+            # lane c holds global j = j0 + c - gj; table entry p holds
+            # global p - 1, so the slice starts at j0 + 1 - gj
+            tkj = lax.dynamic_slice(
+                tkj_g, (z0, z0, j0 + (1 - gj)), (2, 1, Jp)
+            )
             tkk = lax.dynamic_slice(tkk_g, (z0, k0, z0), (2, Kp, Jp))
             return tki, tkj, tkk
 

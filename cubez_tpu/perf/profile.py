@@ -137,10 +137,17 @@ def profile_solve(problem, solver: str, omega: float, iters: int = 50,
             dist_fused.to_line_block_state if line
             else dist_fused.to_block_state
         )
-        refresh_fn = (
-            dist_fused._refresh_ghosts_line if line
-            else dist_fused._refresh_ghosts
-        )
+        if line:
+            import functools
+
+            # the line state's J ghost-lane count follows the mesh
+            # division (gj=0 on Y-unsplit meshes)
+            refresh_fn = functools.partial(
+                dist_fused._refresh_ghosts_line,
+                gj=dist_fused._line_gj(cmesh),
+            )
+        else:
+            refresh_fn = dist_fused._refresh_ghosts
         x = to_state(cmesh, problem.x0)
         b = to_state(cmesh, problem.rhs)
         refresh = shard_map(

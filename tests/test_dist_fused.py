@@ -383,3 +383,42 @@ class TestDistLineFastdiag:
         rd = solve_dist(prob, cm, name, omega=1.5, itr_max=2000,
                         impl="pallas")
         assert rd.iters == rs.iters, (rd.iters, rs.iters)
+
+    @pytest.mark.parametrize("maf", [False, True])
+    @pytest.mark.parametrize("div", [(1, 4, 1), (2, 2, 1)])
+    def test_ghostless_lanes_on_y_unsplit_mesh(self, maf, div):
+        """Y-unsplit meshes drop the J ghost lanes from the line layout
+        (gj=0: wall columns in-state, ljp = the 128-multiple of lj itself
+        — half the lane extent of 128-lane blocks).  Sweeps must match
+        the jnp dist step on both the fastdiag (K-unsplit) and PCR
+        (K-split) dispatches."""
+        from cubez_tpu.parallel import dist_fused
+        from cubez_tpu.parallel.dist import make_dist_step
+
+        prob = self._prob(maf)
+        nd = div[0] * div[1] * div[2]
+        cm = make_mesh((32, 32, 32), devices=cpu8()[:nd], div=div)
+        step = dist_fused.make_dist_fused_step(
+            prob, cm, "pcr_rb", 1.5, sync="color"
+        )
+        assert step is not None
+        step_ref = make_dist_step(prob, cm, "pcr_rb_maf" if maf else
+                                  "pcr_rb", 1.5)
+        xs = dist_fused.to_line_block_state(cm, prob.x0)
+        bs = dist_fused.to_line_block_state(cm, prob.rhs)
+        # the state really is ghost-lane-free: 32 J cells pad to 128
+        # lanes (gj=1 would pad 34 -> 128 too; pin via roundtrip instead)
+        back0 = dist_fused.from_line_block_state(
+            cm, xs, prob.grid.shape_kij
+        )
+        np.testing.assert_array_equal(np.asarray(back0),
+                                      np.asarray(prob.x0))
+        xj, bj = cm.shard(prob.x0), cm.shard(prob.rhs)
+        for _ in range(2):
+            xs, r2f = step(xs, bs)
+            xj, r2j = step_ref(xj, bj)
+        back = dist_fused.from_line_block_state(
+            cm, xs, prob.grid.shape_kij
+        )
+        assert float(jnp.max(jnp.abs(back - xj))) < 5e-6
+        np.testing.assert_allclose(float(r2f), float(r2j), rtol=1e-4)
