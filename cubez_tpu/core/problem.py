@@ -40,6 +40,43 @@ class Problem:
             return False
         return not bool(jnp.any(self.rhs * self.msk))
 
+    def msk_is_standard(self) -> bool:
+        """True when msk is the standard cube inner mask (1 inside, 0 on
+        the boundary shell) — the configuration whose steps synthesize
+        the mask from iota in-trace instead of embedding an N^3 constant
+        in the executable (536 MB at 512^3, rejected by a remote compile
+        service).
+
+        Identity with ``grid.inner_mask`` (a cached_property) is the
+        fast path; a replaced/resharded copy (e.g. solve_dist's
+        ``cmesh.shard(problem.msk)``) is verified by three device-side
+        scalar reductions — interior min == 1, global sum == num_inner,
+        boundary-shell max |.| == 0 pin the values exactly — rather than
+        gathering N^3 elements to the host (~512 MB at 512^3 through a
+        remote tunnel).  The reductions lower to collectives on sharded
+        masks."""
+        m = self.msk
+        if m is self.grid.inner_mask:
+            return True
+        import jax
+
+        inner = (slice(1, -1),) * 3
+        faces = jnp.stack(
+            [
+                jnp.max(jnp.abs(f))
+                for f in (m[0], m[-1], m[:, 0], m[:, -1],
+                          m[:, :, 0], m[:, :, -1])
+            ]
+        )
+        imin, total, bmax = jax.device_get(
+            (jnp.min(m[inner]), jnp.sum(m), jnp.max(faces))
+        )
+        return (
+            float(imin) == 1.0
+            and float(total) == float(self.grid.num_inner)
+            and float(bmax) == 0.0
+        )
+
     @classmethod
     def poisson_cube(cls, n, dtype=jnp.float32, maf: bool = False) -> "Problem":
         """The reference's only problem: Laplace on the unit cube with the

@@ -45,7 +45,10 @@ def solve_dist(
     temporally-blocked window chains, owned cells bitwise the serial
     result (dist_pack.py); 'color'/'iter' are the per-iteration cadences
     (dist_fused.py); 'overlap' overlaps ghost collectives with compute.
-    'auto' resolves to 'pack' where it applies, else 'color'.
+    'auto' resolves to 'pack' where it applies, else 'color'; an
+    EXPLICIT sync='pack' raises where the packed path cannot run
+    (non-sor2sma, jnp impl, f64, nonzero inner RHS, or blocks thinner
+    than the ghost depth) instead of silently changing trajectories.
 
     Every solver name runs (the reference runs all of them multi-rank,
     cz_Poisson.cpp); the step implementation degrades gracefully:
@@ -100,19 +103,39 @@ def solve_dist(
 
     # production path first: packed-RB blocks + communication-avoiding
     # temporal blocking, owned cells bitwise the serial production kernel
-    if (
+    pack_eligible = (
         use_fused and not overlap and sync in ("auto", "pack")
         and kind == "sor2sma"
-    ):
+    )
+    if sync == "pack" and not pack_eligible:
+        raise ValueError(
+            "sync='pack' applies only to the fused sor2sma path "
+            "(impl pallas/auto-on-TPU, f32); use sync='auto' to fall "
+            "back to 'color'"
+        )
+    if pack_eligible:
         from . import dist_pack
 
         pstep = dist_pack.make_dist_packed_step(
             problem, cmesh, omega, interpret=interpret
         )
+        if pstep is None and sync == "pack":
+            # an EXPLICIT pack request must not silently downgrade to the
+            # per-color cadence (different trajectories / iteration
+            # counts than the bitwise-serial contract the caller asked
+            # for); only sync='auto' falls back
+            raise ValueError(
+                "sync='pack' unavailable for this configuration (needs "
+                "f32, zero inner RHS, even block dims >= the 2n ghost "
+                "depth); use sync='auto' to fall back to 'color'"
+            )
         if pstep is not None:
             hs = pstep.hs
             xs = dist_pack.to_packed_state(cmesh, problem.x0, hs)
-            bs = dist_pack.to_packed_state(cmesh, problem.rhs, hs)
+            # the packed step is zero-RHS by contract (its body ignores
+            # b); reuse xs as the placeholder instead of packing a
+            # second extended state (87 MB/device at 256^3 n=5 blocks)
+            bs = xs
             result = run_iterative(
                 pstep, xs, bs, g.res_normal, itr_max, eps,
                 check_every=check_every,

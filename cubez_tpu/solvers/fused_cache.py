@@ -78,19 +78,22 @@ def get_fused_step(kind: str, grid, omega: float, mc, interpret: bool,
         from ..pallas_kernels import rbpack
 
         step = None
-        if allow_pair and b_is_zero:
+        if allow_pair and b_is_zero and mc is None:
             # deepest temporal block first: n iterations per HBM pass
             # (zero-RHS only; sweeps2x._sweepnx_kernel).  Measured v5e:
             # the sweep is VPU-bound beyond n~4 so returns flatten —
             # 128^3 pair 122 / n=4 145 / n=6 147 Gcells/s, 256^3 n=4
             # 141 / n=6 145 — but n=6 stays measurably ahead where its
-            # windows fit.  MAF admits n <= 7 (16-row resident-table
-            # guard band); measured on v5e the MAF pair update is
-            # VPU-bound, so deeper MAF blocking plateaus (~29 us/iter at
-            # 128^3 for n=3/4/6 alike) — the dispatch order below still
-            # picks the deepest fit, which is never slower.  The builders return None where the windows
+            # windows fit.  The builders return None where the windows
             # don't fit VMEM (512^3 needs kt=8 and stays on the pair:
             # measured neutral at best under a near-limit VMEM budget).
+            # MAF skips the chain entirely: its pair update is VPU-bound,
+            # so deeper blocking never pays — measured us/iter 128^3
+            # pair 24.9 / 3x 26.3 / 4x 25.9 / 6x 39.2, 256^3 pair 172.5 /
+            # 3x 209.7 / 4x 178.3 (BENCH_RESULTS "MAF point-sweep
+            # temporal blocking") — the pair below is its production form
+            # (deeper MAF windows remain available and parity-tested,
+            # sweeps2x n <= 7 via the 16-row guard band).
             for nx in (6, 4, 3):
                 step = rbpack.make_packed_sweepnx(
                     grid.shape_kij, grid.dtype, omega=omega, n=nx, mc=mc,

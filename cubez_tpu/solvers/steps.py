@@ -95,36 +95,10 @@ def _named(label, fn):
 
 
 def _require_standard_mask(problem: Problem, name: str):
-    """Raise unless problem.msk is the standard cube inner mask.
-
-    Device-side scalar checks (interior min == 1, global sum ==
-    num_inner, boundary-shell max |.| == 0 — together they pin the mask
-    to exactly 1 inside / 0 on the shell): a full np.array_equal would
-    gather N^3 elements to the host, ~512 MB at 512^3 through the
-    remote tunnel.  Works on sharded masks (the reductions lower to
-    collectives)."""
-    g = problem.grid
-    m = problem.msk
-    if m is g.inner_mask:
-        return
-    import jax
-    import jax.numpy as jnp
-
-    inner = (slice(1, -1),) * 3
-    faces = jnp.stack(
-        [
-            jnp.max(jnp.abs(f))
-            for f in (m[0], m[-1], m[:, 0], m[:, -1], m[:, :, 0], m[:, :, -1])
-        ]
-    )
-    imin, total, bmax = jax.device_get(
-        (jnp.min(m[inner]), jnp.sum(m), jnp.max(faces))
-    )
-    if not (
-        float(imin) == 1.0
-        and float(total) == float(g.num_inner)
-        and float(bmax) == 0.0
-    ):
+    """Raise unless problem.msk is the standard cube inner mask
+    (Problem.msk_is_standard: identity fast path + device-side scalar
+    verification for replaced/resharded copies)."""
+    if not problem.msk_is_standard():
         raise ValueError(
             f"{name} supports the standard cube inner mask only"
         )
@@ -231,7 +205,10 @@ def _make_step(problem: Problem, name: str, omega: float, color_offset: int = 0,
     # remote compile service, and an extra HBM stream besides); the iota
     # form has identical values, so results are bitwise unchanged.
     # Color masks depend only on the shape and always use the iota form.
-    if problem.msk is g.inner_mask:
+    # msk_is_standard (not identity alone) so resharded copies of the
+    # standard mask — e.g. solve_dist's auto-SPMD fallback builds
+    # msk=cmesh.shard(problem.msk) — still synthesize instead of embed.
+    if problem.msk_is_standard():
         mskf = lambda: stencil.inner_mask_expr(g.shape_kij, dtype)  # noqa: E731
     else:
         mskf = lambda: msk  # noqa: E731

@@ -63,6 +63,24 @@ def load(path) -> Checkpoint:
         )
 
 
+def _continue(problem, ckpt: Checkpoint, itr_max, solver, omega, eps):
+    """Shared continuation plumbing: shape check, x0 replace, and
+    ckpt-field defaulting — one copy for resume and resume_dist."""
+    import dataclasses as dc
+
+    if ckpt.x.shape != problem.grid.shape_kij:
+        raise ValueError(
+            f"checkpoint shape {ckpt.x.shape} != problem "
+            f"{problem.grid.shape_kij}"
+        )
+    prob = dc.replace(problem, x0=jnp.asarray(ckpt.x, problem.grid.dtype))
+    return prob, dict(
+        omega=omega if omega is not None else ckpt.omega,
+        itr_max=itr_max,
+        eps=eps if eps is not None else ckpt.eps,
+    ), solver or ckpt.solver
+
+
 def resume(problem, ckpt: Checkpoint, itr_max: int, *, solver: Optional[str] = None,
            omega: Optional[float] = None, eps: Optional[float] = None, **kw):
     """Continue a checkpointed solve for up to ``itr_max`` more iterations.
@@ -70,23 +88,10 @@ def resume(problem, ckpt: Checkpoint, itr_max: int, *, solver: Optional[str] = N
     Returns the SolveResult of the continuation; the caller stitches
     histories if needed.
     """
-    import dataclasses as dc
-
     from ..solvers.api import solve
 
-    if ckpt.x.shape != problem.grid.shape_kij:
-        raise ValueError(
-            f"checkpoint shape {ckpt.x.shape} != problem {problem.grid.shape_kij}"
-        )
-    prob = dc.replace(problem, x0=jnp.asarray(ckpt.x, problem.grid.dtype))
-    return solve(
-        prob,
-        solver or ckpt.solver,
-        omega=omega if omega is not None else ckpt.omega,
-        itr_max=itr_max,
-        eps=eps if eps is not None else ckpt.eps,
-        **kw,
-    )
+    prob, args, name = _continue(problem, ckpt, itr_max, solver, omega, eps)
+    return solve(prob, name, **args, **kw)
 
 
 def resume_dist(problem, cmesh, ckpt: Checkpoint, itr_max: int, *,
@@ -98,22 +103,7 @@ def resume_dist(problem, cmesh, ckpt: Checkpoint, itr_max: int, *,
     solve may be checkpointed on one mesh (or serially) and resumed on
     any other — solve_dist re-shards and re-packs the state for the
     production per-block path."""
-    import dataclasses as dc
-
     from ..parallel.api import solve_dist
 
-    if ckpt.x.shape != problem.grid.shape_kij:
-        raise ValueError(
-            f"checkpoint shape {ckpt.x.shape} != problem "
-            f"{problem.grid.shape_kij}"
-        )
-    prob = dc.replace(problem, x0=jnp.asarray(ckpt.x, problem.grid.dtype))
-    return solve_dist(
-        prob,
-        cmesh,
-        solver or ckpt.solver,
-        omega=omega if omega is not None else ckpt.omega,
-        itr_max=itr_max,
-        eps=eps if eps is not None else ckpt.eps,
-        **kw,
-    )
+    prob, args, name = _continue(problem, ckpt, itr_max, solver, omega, eps)
+    return solve_dist(prob, cmesh, name, **args, **kw)

@@ -124,6 +124,36 @@ def test_dist_packed_rejects_thin_blocks():
     assert dist_pack.make_dist_packed_step(prob, cm, 1.5, n=2) is None
 
 
+def test_explicit_pack_request_raises_when_unavailable():
+    """sync='pack' must not silently downgrade to the per-color cadence
+    (different trajectories than the bitwise-serial contract); only
+    sync='auto' falls back."""
+    from cubez_tpu.parallel.api import solve_dist
+
+    n = 16
+    prob = Problem.poisson_cube(n, dtype=jnp.float32)
+    cm = _mesh(n, (8, 1, 1))  # 2-row blocks: no packed tiling
+    with pytest.raises(ValueError, match="pack"):
+        solve_dist(prob, cm, "sor2sma", omega=1.5, itr_max=4,
+                   impl="pallas", sync="pack")
+    # ineligible configuration (jnp impl) raises too
+    with pytest.raises(ValueError, match="pack"):
+        solve_dist(prob, _mesh(n, (2, 2, 2)), "sor2sma", omega=1.5,
+                   itr_max=4, impl="jnp", sync="pack")
+
+
+def test_maf_serial_dispatch_stays_on_pair():
+    """The serial MAF production form is the packed pair (measured: the
+    6x chain regresses to 39.2 us/iter vs the pair's 24.9 at 128^3,
+    BENCH_RESULTS) — the deepest-fit chain dispatch is const-only."""
+    from cubez_tpu.solvers.fused_cache import get_fused_step
+
+    prob = Problem.poisson_cube(32, dtype=jnp.float32, maf=True)
+    step = get_fused_step("sor2sma", prob.grid, 1.5, prob.mc, True,
+                          b_is_zero=True)
+    assert step is not None and step.iters_per_call == 2
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("div", [(2, 2, 2), (2, 4, 1)])
 def test_solve_dist_pack_iteration_count_exact(div):
